@@ -1,0 +1,115 @@
+"""Dilated rolling-window snippet scheduling.
+
+The reference covers a video with stride-1 sliding windows of ``snippet_len``
+frames spaced ``dilation`` apart, per dilation in e.g. [1, 10, 25]
+(/root/reference/rollingdepth/rollingdepth_pipeline.py:465-515).  During
+refinement the gap anneals linearly from ``dilation_start-1`` to
+``dilation_end-1`` with the step index (same file :482-483).
+
+TPU-first design: instead of a Python list of per-snippet index lists driving
+a Python loop of model calls, we emit a static ``[S, n]`` integer matrix once
+per (seq_len, snippet_len, dilation) bucket.  The whole snippet batch is then
+gathered with one ``jnp.take`` and denoised as a single (sharded) batch.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def cap_max_dilation(seq_len: int, snippet_len: int, dilation: int, verbose: bool = False) -> int:
+    """Cap dilation so a full window fits the clip.
+
+    Mirrors /root/reference/rollingdepth/rollingdepth_pipeline.py:504-515:
+    ``max_allowed_gap = floor(seq_len / snippet_len) - 1``.
+    """
+    max_allowed_gap = int(seq_len / snippet_len) - 1
+    if max_allowed_gap < dilation:
+        msg = f"dilation = {dilation} is too big for {seq_len} frames. Reduced to {max_allowed_gap}"
+        (logger.info if verbose else logger.debug)(msg)
+        dilation = min(max_allowed_gap, dilation)
+    return dilation
+
+
+def current_gap(i_step: int, total_step: int, dilation_start: int, dilation_end: int) -> int:
+    """Annealed inter-frame gap at refinement step ``i_step``.
+
+    ``gap = int((1 - i_step/total_step) * (gap_start - gap_end) + gap_end)``
+    (/root/reference/rollingdepth/rollingdepth_pipeline.py:475-483).
+    """
+    gap_start = dilation_start - 1
+    gap_end = dilation_end - 1
+    if gap_start < gap_end:
+        raise ValueError(f"expect gap_start >= gap_end, got {gap_start} and {gap_end}")
+    if gap_start < 0 or gap_end < 0:
+        raise ValueError("gaps must be non-negative")
+    return int((1 - i_step / total_step) * (gap_start - gap_end) + gap_end)
+
+
+def snippet_indices(
+    seq_len: int,
+    snippet_len: int,
+    dilation: int,
+    stride: int = 1,
+) -> List[List[int]]:
+    """All window start indices for one dilation, as lists (reference-shaped).
+
+    Equivalent to the loop at
+    /root/reference/rollingdepth/rollingdepth_pipeline.py:486-502 with
+    ``gap_cur = dilation - 1``: windows ``[i, i+d, ..., i+(n-1)d]`` for
+    ``i in range(0, seq_len - (n-1)d, stride)`` plus a final window for
+    stride > 1 so the tail is covered.
+    """
+    gap = dilation - 1
+    total_window_size = (snippet_len - 1) * (gap + 1) + 1
+    if total_window_size > seq_len:
+        raise ValueError(
+            f"window of len {snippet_len} with dilation {dilation} does not fit {seq_len} frames"
+        )
+    i_start_ls = list(range(0, seq_len - total_window_size + 1, stride))
+    if i_start_ls[-1] < seq_len - total_window_size:
+        i_start_ls.append(seq_len - total_window_size)
+    out = [list(range(i, i + total_window_size, gap + 1)) for i in i_start_ls]
+
+    covered = {x for window in out for x in window}
+    if covered != set(range(seq_len)):
+        logger.warning(
+            "Not every frame is covered. Consider reducing dilation for short videos"
+        )
+    return out
+
+
+def snippet_index_matrix(
+    seq_len: int,
+    snippet_len: int,
+    dilation: int,
+    stride: int = 1,
+    pad_to: int = 0,
+) -> np.ndarray:
+    """Static ``[S, n]`` int32 index matrix for one dilation.
+
+    ``pad_to`` optionally pads S up to a bucket size by repeating the last
+    window, letting one jit compile serve many clip lengths.  Consumers that
+    accumulate over windows must mask out rows >= the true S (see
+    ``valid_window_mask``) so duplicates do not skew overlap averages.
+    """
+    idx = np.asarray(snippet_indices(seq_len, snippet_len, dilation, stride), dtype=np.int32)
+    if pad_to and idx.shape[0] < pad_to:
+        pad = np.repeat(idx[-1:], pad_to - idx.shape[0], axis=0)
+        idx = np.concatenate([idx, pad], axis=0)
+    return idx
+
+
+def coverage_count(index_matrix: np.ndarray, seq_len: int) -> np.ndarray:
+    """Per-frame count of covering windows, ``[seq_len]`` int32."""
+    return np.bincount(index_matrix.reshape(-1), minlength=seq_len).astype(np.int32)
+
+
+def valid_window_mask(num_valid: int, padded: int) -> np.ndarray:
+    """``[padded]`` float32 mask: 1 for true windows, 0 for bucket padding."""
+    return (np.arange(padded) < num_valid).astype(np.float32)

@@ -1,0 +1,327 @@
+"""Functional multistep DPM-Solver / DPM-Solver++ (incl. SDE variants).
+
+Behavioral reference: vendored diffusers DPMSolverMultistepScheduler
+(/root/reference/diffusers/src/diffusers/schedulers/
+scheduling_dpmsolver_multistep.py: set_timesteps :306-409, karras sigmas
+:475-498, _sigma_to_t :445-466, convert_model_output :513-610, first-order
+update :612-678, second-order update :681-802, step dispatcher :920-1007).
+The relight pipeline registers it as ``sde-dpmsolver++`` with Karras sigmas
+and steps_offset=1 (/root/reference/rollingdepth/rollingimg_pipeline.py:
+156-163) and strength-skips via ``set_begin_index``
+(/root/reference/rollingdepth/rollingimg_pipeline.py:1035-1044).
+
+TPU-first design: the scheduler is a frozen config + host-side schedule
+builder.  Per-step mutable state (previous converted model output + warm-up
+counter) is an explicit ``DPMState`` pytree threaded through ``lax.scan``;
+order selection (first vs second) is an arithmetic ``jnp.where`` on traced
+step indices, so the whole 20/40-step denoise compiles to one fused program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import make_alphas_cumprod, rescale_zero_terminal_snr, make_betas
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverConfig:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "linear"
+    solver_order: int = 2
+    prediction_type: str = "epsilon"
+    thresholding: bool = False
+    sample_max_value: float = 1.0
+    algorithm_type: str = "dpmsolver++"  # dpmsolver | dpmsolver++ | sde-dpmsolver | sde-dpmsolver++
+    solver_type: str = "midpoint"  # midpoint | heun
+    lower_order_final: bool = True
+    euler_at_final: bool = False
+    use_karras_sigmas: bool = False
+    lambda_min_clipped: float = -float("inf")
+    timestep_spacing: str = "linspace"
+    steps_offset: int = 0
+    final_sigmas_type: str = "zero"  # zero | sigma_min
+    rescale_betas_zero_snr: bool = False
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DPMSolverConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class DPMState(NamedTuple):
+    """Multistep memory threaded through the denoise scan."""
+
+    prev_converted: jnp.ndarray  # m1: converted model output from the previous step
+    lower_order_nums: jnp.ndarray  # int32 warm-up counter (capped at solver_order)
+
+    @staticmethod
+    def init(shape, dtype=jnp.float32) -> "DPMState":
+        return DPMState(
+            prev_converted=jnp.zeros(shape, dtype=dtype),
+            lower_order_nums=jnp.zeros((), dtype=jnp.int32),
+        )
+
+
+def _sigma_to_t(sigma: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
+    """Invert the sigma schedule by piecewise-log-linear interpolation
+    (scheduling_dpmsolver_multistep.py:445-466)."""
+    log_sigma = np.log(np.maximum(sigma, 1e-10))
+    dists = log_sigma - log_sigmas[:, np.newaxis]
+    low_idx = np.cumsum((dists >= 0), axis=0).argmax(axis=0).clip(max=log_sigmas.shape[0] - 2)
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = np.clip((low - log_sigma) / (low - high), 0, 1)
+    t = (1 - w) * low_idx + w * high_idx
+    return t.reshape(np.shape(sigma))
+
+
+class DPMSolverMultistepScheduler:
+    def __init__(self, config: DPMSolverConfig = DPMSolverConfig()):
+        if config.solver_order > 2:
+            raise NotImplementedError(
+                "solver_order up to 2 implemented (the reference pipelines use 2)"
+            )
+        self.config = config
+        betas = make_betas(
+            config.num_train_timesteps, config.beta_start, config.beta_end, config.beta_schedule
+        )
+        if config.rescale_betas_zero_snr:
+            betas = rescale_zero_terminal_snr(betas)
+        self.alphas_cumprod = np.cumprod(1.0 - betas).astype(np.float32)
+        if config.rescale_betas_zero_snr:
+            self.alphas_cumprod[-1] = 2**-24
+
+    # ------------------------------------------------------------------
+    # Host-side schedule construction
+    # ------------------------------------------------------------------
+    def schedule(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(timesteps [T] int32, sigmas [T+1] float32), descending."""
+        cfg = self.config
+        ac = self.alphas_cumprod.astype(np.float64)
+        sigmas_all = ((1 - ac) / ac) ** 0.5
+        log_sigmas = np.log(sigmas_all)
+
+        lambda_t = np.log(np.sqrt(ac)) - np.log(np.sqrt(1 - ac))
+        clipped_idx = int(np.searchsorted(np.flip(lambda_t), cfg.lambda_min_clipped))
+        last_timestep = cfg.num_train_timesteps - clipped_idx
+
+        if cfg.timestep_spacing == "linspace":
+            timesteps = (
+                np.linspace(0, last_timestep - 1, num_inference_steps + 1)
+                .round()[::-1][:-1]
+                .astype(np.int64)
+            )
+        elif cfg.timestep_spacing == "leading":
+            step_ratio = last_timestep // (num_inference_steps + 1)
+            timesteps = (
+                (np.arange(0, num_inference_steps + 1) * step_ratio).round()[::-1][:-1].astype(np.int64)
+            )
+            timesteps = timesteps + cfg.steps_offset
+        elif cfg.timestep_spacing == "trailing":
+            step_ratio = cfg.num_train_timesteps / num_inference_steps
+            timesteps = np.arange(last_timestep, 0, -step_ratio).round().astype(np.int64) - 1
+        else:
+            raise ValueError(f"timestep_spacing {cfg.timestep_spacing!r}")
+
+        if cfg.use_karras_sigmas:
+            flipped = np.flip(sigmas_all)
+            sigma_min, sigma_max = flipped[-1], flipped[0]
+            rho = 7.0
+            ramp = np.linspace(0, 1, num_inference_steps)
+            sigmas = (
+                sigma_max ** (1 / rho) + ramp * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))
+            ) ** rho
+            timesteps = _sigma_to_t(sigmas, log_sigmas).round().astype(np.int64)
+        else:
+            sigmas = np.interp(timesteps, np.arange(len(sigmas_all)), sigmas_all)
+
+        if cfg.final_sigmas_type == "sigma_min":
+            sigma_last = ((1 - ac[0]) / ac[0]) ** 0.5
+        elif cfg.final_sigmas_type == "zero":
+            sigma_last = 0.0
+        else:
+            raise ValueError(f"final_sigmas_type {cfg.final_sigmas_type!r}")
+
+        sigmas = np.concatenate([sigmas, [sigma_last]]).astype(np.float32)
+        return timesteps.astype(np.int32), sigmas
+
+    # ------------------------------------------------------------------
+    # Device-side step math
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _alpha_sigma(sigma: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        alpha_t = 1.0 / jnp.sqrt(sigma**2 + 1.0)
+        return alpha_t, sigma * alpha_t
+
+    def convert_model_output(
+        self, model_output: jnp.ndarray, sample: jnp.ndarray, sigma: jnp.ndarray
+    ) -> jnp.ndarray:
+        cfg = self.config
+        out = model_output.astype(jnp.float32)
+        sample = sample.astype(jnp.float32)
+        alpha_t, sigma_t = self._alpha_sigma(sigma)
+        if cfg.algorithm_type in ("dpmsolver++", "sde-dpmsolver++"):
+            # data-prediction form: x0
+            if cfg.prediction_type == "epsilon":
+                x0 = (sample - sigma_t * out) / alpha_t
+            elif cfg.prediction_type == "sample":
+                x0 = out
+            elif cfg.prediction_type == "v_prediction":
+                x0 = alpha_t * sample - sigma_t * out
+            else:
+                raise ValueError(f"prediction_type {cfg.prediction_type!r}")
+            if cfg.thresholding:
+                raise NotImplementedError("dynamic thresholding not used by the reference")
+            return x0
+        else:
+            # noise-prediction form: epsilon
+            if cfg.prediction_type == "epsilon":
+                return out
+            elif cfg.prediction_type == "sample":
+                return (sample - alpha_t * out) / sigma_t
+            elif cfg.prediction_type == "v_prediction":
+                return alpha_t * out + sigma_t * sample
+            raise ValueError(f"prediction_type {cfg.prediction_type!r}")
+
+    def _first_order(self, m0, sample, sigma_t_raw, sigma_s_raw, noise):
+        cfg = self.config
+        alpha_t, sigma_t = self._alpha_sigma(sigma_t_raw)
+        alpha_s, sigma_s = self._alpha_sigma(sigma_s_raw)
+        lam_t = jnp.log(alpha_t) - jnp.log(sigma_t)
+        lam_s = jnp.log(alpha_s) - jnp.log(sigma_s)
+        h = lam_t - lam_s
+        if cfg.algorithm_type == "dpmsolver++":
+            return (sigma_t / sigma_s) * sample - alpha_t * (jnp.exp(-h) - 1.0) * m0
+        if cfg.algorithm_type == "dpmsolver":
+            return (alpha_t / alpha_s) * sample - sigma_t * (jnp.exp(h) - 1.0) * m0
+        if cfg.algorithm_type == "sde-dpmsolver++":
+            return (
+                (sigma_t / sigma_s * jnp.exp(-h)) * sample
+                + alpha_t * (1.0 - jnp.exp(-2.0 * h)) * m0
+                + sigma_t * jnp.sqrt(1.0 - jnp.exp(-2.0 * h)) * noise
+            )
+        if cfg.algorithm_type == "sde-dpmsolver":
+            return (
+                (alpha_t / alpha_s) * sample
+                - 2.0 * sigma_t * (jnp.exp(h) - 1.0) * m0
+                + sigma_t * jnp.sqrt(jnp.exp(2.0 * h) - 1.0) * noise
+            )
+        raise ValueError(f"algorithm_type {cfg.algorithm_type!r}")
+
+    def _second_order(self, m0, m1, sample, sigma_t_raw, sigma_s0_raw, sigma_s1_raw, noise):
+        cfg = self.config
+        alpha_t, sigma_t = self._alpha_sigma(sigma_t_raw)
+        alpha_s0, sigma_s0 = self._alpha_sigma(sigma_s0_raw)
+        alpha_s1, sigma_s1 = self._alpha_sigma(sigma_s1_raw)
+        lam_t = jnp.log(alpha_t) - jnp.log(sigma_t)
+        lam_s0 = jnp.log(alpha_s0) - jnp.log(sigma_s0)
+        lam_s1 = jnp.log(alpha_s1) - jnp.log(sigma_s1)
+        h = lam_t - lam_s0
+        h_0 = lam_s0 - lam_s1
+        r0 = h_0 / h
+        D0 = m0
+        D1 = (1.0 / r0) * (m0 - m1)
+        mid = cfg.solver_type == "midpoint"
+        if cfg.algorithm_type == "dpmsolver++":
+            base = (sigma_t / sigma_s0) * sample - alpha_t * (jnp.exp(-h) - 1.0) * D0
+            if mid:
+                return base - 0.5 * alpha_t * (jnp.exp(-h) - 1.0) * D1
+            return base + alpha_t * ((jnp.exp(-h) - 1.0) / h + 1.0) * D1
+        if cfg.algorithm_type == "dpmsolver":
+            base = (alpha_t / alpha_s0) * sample - sigma_t * (jnp.exp(h) - 1.0) * D0
+            if mid:
+                return base - 0.5 * sigma_t * (jnp.exp(h) - 1.0) * D1
+            return base - sigma_t * ((jnp.exp(h) - 1.0) / h - 1.0) * D1
+        if cfg.algorithm_type == "sde-dpmsolver++":
+            base = (
+                (sigma_t / sigma_s0 * jnp.exp(-h)) * sample
+                + alpha_t * (1.0 - jnp.exp(-2.0 * h)) * D0
+                + sigma_t * jnp.sqrt(1.0 - jnp.exp(-2.0 * h)) * noise
+            )
+            if mid:
+                return base + 0.5 * alpha_t * (1.0 - jnp.exp(-2.0 * h)) * D1
+            return base + alpha_t * ((1.0 - jnp.exp(-2.0 * h)) / (-2.0 * h) + 1.0) * D1
+        if cfg.algorithm_type == "sde-dpmsolver":
+            base = (
+                (alpha_t / alpha_s0) * sample
+                - 2.0 * sigma_t * (jnp.exp(h) - 1.0) * D0
+                + sigma_t * jnp.sqrt(jnp.exp(2.0 * h) - 1.0) * noise
+            )
+            if mid:
+                return base - sigma_t * (jnp.exp(h) - 1.0) * D1
+            return base - 2.0 * sigma_t * ((jnp.exp(h) - 1.0) / h - 1.0) * D1
+        raise ValueError(f"algorithm_type {cfg.algorithm_type!r}")
+
+    def step(
+        self,
+        model_output: jnp.ndarray,
+        step_index: jnp.ndarray,
+        sample: jnp.ndarray,
+        sigmas: jnp.ndarray,
+        num_steps: int,
+        state: DPMState,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, DPMState]:
+        """One multistep update at ``step_index`` (position in the full schedule).
+
+        Mirrors the dispatcher at scheduling_dpmsolver_multistep.py:956-1007:
+        first-order while warming up (``lower_order_nums < 1``) and at the
+        final step when ``final_sigmas_type == 'zero'`` or the schedule is
+        short; second-order otherwise.
+        """
+        cfg = self.config
+        sigmas = jnp.asarray(sigmas, dtype=jnp.float32)
+        step_index = jnp.asarray(step_index, dtype=jnp.int32)
+        sample_f = sample.astype(jnp.float32)
+
+        sigma_s0 = sigmas[step_index]
+        sigma_t = sigmas[step_index + 1]
+        sigma_s1 = sigmas[jnp.clip(step_index - 1, 0)]
+
+        m0 = self.convert_model_output(model_output, sample_f, sigma_s0)
+        m1 = state.prev_converted.astype(jnp.float32)
+
+        if cfg.algorithm_type in ("sde-dpmsolver", "sde-dpmsolver++"):
+            if rng is None:
+                raise ValueError("SDE algorithm types require an explicit PRNG key")
+            noise = jax.random.normal(rng, model_output.shape, dtype=jnp.float32)
+        else:
+            noise = jnp.zeros_like(m0)
+
+        lower_order_final = (step_index == num_steps - 1) & (
+            cfg.euler_at_final
+            or (cfg.lower_order_final and num_steps < 15)
+            or cfg.final_sigmas_type == "zero"
+        )
+        # For solver_order <= 2 the reference's elif chain reduces to:
+        # first-order iff (order == 1) or warming up or lower_order_final.
+        use_first = (cfg.solver_order == 1) | (state.lower_order_nums < 1) | lower_order_final
+
+        x_first = self._first_order(m0, sample_f, sigma_t, sigma_s0, noise)
+        x_second = self._second_order(m0, m1, sample_f, sigma_t, sigma_s0, sigma_s1, noise)
+        # guard NaN/inf from the unused branch at warm-up (sigma_s1 gather)
+        x_second = jnp.where(jnp.isfinite(x_second), x_second, x_first)
+        prev_sample = jnp.where(use_first, x_first, x_second)
+
+        new_state = DPMState(
+            prev_converted=m0.astype(state.prev_converted.dtype),
+            lower_order_nums=jnp.minimum(state.lower_order_nums + 1, cfg.solver_order),
+        )
+        return prev_sample.astype(model_output.dtype), new_state
+
+    def add_noise(
+        self, original_samples: jnp.ndarray, noise: jnp.ndarray, sigma: jnp.ndarray
+    ) -> jnp.ndarray:
+        """alpha/sigma noising used by img2img strength start
+        (scheduling_dpmsolver_multistep.py:1024-1056)."""
+        alpha_t, sigma_t = self._alpha_sigma(jnp.asarray(sigma, jnp.float32))
+        out = alpha_t * original_samples.astype(jnp.float32) + sigma_t * noise.astype(jnp.float32)
+        return out.astype(original_samples.dtype)

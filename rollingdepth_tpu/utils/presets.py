@@ -1,0 +1,105 @@
+"""CLI preset system.
+
+Reproduces the public preset semantics of the reference CLI
+(/root/reference/run_video.py:413-468): a base default tree, four named
+presets (``fast``, ``fast1024``, ``full``, ``paper``) layered on top, and
+explicit user flags overriding the preset with a warning.  The reference uses
+OmegaConf; here a plain dataclass + dict merge keeps the same observable
+behavior without the dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, List, Optional
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class InferenceSettings:
+    """Resolved inference settings (preset + overrides).
+
+    Field defaults mirror the reference base config
+    (/root/reference/run_video.py:413-422) and the pipeline signature defaults
+    (/root/reference/rollingdepth/rollingdepth_pipeline.py:78-104).
+    """
+
+    res: int = 768
+    snippet_lengths: List[int] = dataclasses.field(default_factory=lambda: [3])
+    cap_dilation: bool = True
+    dtype: str = "fp16"  # mapped to bf16 on TPU unless fp32 requested
+    refine_snippet_len: int = 3
+    refine_start_dilation: int = 6
+    dilations: List[int] = dataclasses.field(default_factory=lambda: [1, 25])
+    refine_step: int = 0
+    # non-preset knobs with pipeline defaults
+    init_infer_steps: List[int] = dataclasses.field(default_factory=lambda: [1])
+    strides: List[int] = dataclasses.field(default_factory=lambda: [1])
+    max_vae_bs: int = 4
+    unload_snippet: bool = False
+    restore_res: bool = False
+    resample_method: str = "BILINEAR"
+    start_frame: int = 0
+    frame_count: int = 0
+    seed: Optional[int] = None
+    verbose: bool = False
+    # TPU-specific execution knobs (no reference equivalent)
+    snippet_batch: int = 8  # snippets denoised per device step
+    data_parallel: int = 1  # size of the snippet-sharding mesh axis
+
+
+# Named presets, layered over the base defaults
+# (/root/reference/run_video.py:423-452).
+PRESETS: Dict[str, Dict[str, Any]] = {
+    "fast": {"dilations": [1, 25], "refine_step": 0},
+    "fast1024": {"res": 1024, "dilations": [1, 25], "refine_step": 0},
+    "full": {"res": 1024, "dilations": [1, 10, 25], "refine_step": 10},
+    "paper": {
+        "dilations": [1, 10, 25],
+        "cap_dilation": False,
+        "dtype": "fp32",
+        "refine_step": 10,
+    },
+    "none": {},
+}
+
+
+def resolve_preset(
+    preset: str, overrides: Optional[Dict[str, Any]] = None
+) -> InferenceSettings:
+    """Merge base defaults, the named preset, and explicit overrides.
+
+    Matches the reference merge loop (/root/reference/run_video.py:453-468):
+    an explicit flag that differs from the preset value overwrites it and logs
+    a warning; unknown keys are added verbatim.
+    """
+    if preset not in PRESETS:
+        raise KeyError(f"Unknown preset {preset!r}; expected one of {sorted(PRESETS)}")
+    settings = InferenceSettings()
+    if preset != "none":
+        logger.info("Using preset: %s", preset)
+        for key, value in PRESETS[preset].items():
+            setattr(settings, key, value)
+
+    known = {f.name for f in dataclasses.fields(InferenceSettings)}
+    for key, value in (overrides or {}).items():
+        if key in known:
+            if value is not None and value != getattr(settings, key):
+                logger.warning("Overwriting argument: %s = %r", key, value)
+                setattr(settings, key, value)
+        else:
+            raise KeyError(f"Undefined argument: {key}")
+    return settings
+
+
+def str2bool(value) -> bool:
+    """Boolean CLI flag parser (/root/reference/src/util/config.py:6-14)."""
+    if isinstance(value, bool):
+        return value
+    if str(value).lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if str(value).lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise ValueError(f"Boolean value expected, got {value!r}")

@@ -1,0 +1,71 @@
+import numpy as np
+import pytest
+
+from rollingdepth_tpu.pipelines.snippets import (
+    cap_max_dilation,
+    coverage_count,
+    current_gap,
+    snippet_index_matrix,
+    snippet_indices,
+)
+
+
+def reference_get_snippet_indice(i_step, total_step, seq_len, snippet_len,
+                                 dilation_start, dilation_end, stride):
+    """Re-derivation of the reference algorithm
+    (/root/reference/rollingdepth/rollingdepth_pipeline.py:465-502) used as a
+    test oracle."""
+    gap_start, gap_end = dilation_start - 1, dilation_end - 1
+    gap_cur = int((1 - i_step / total_step) * (gap_start - gap_end) + gap_end)
+    out = []
+    total_window_size = (snippet_len - 1) * (gap_cur + 1) + 1
+    i_start_ls = list(range(0, seq_len - total_window_size + 1, stride))
+    if i_start_ls[-1] < seq_len - total_window_size:
+        i_start_ls.append(seq_len - total_window_size)
+    for i_start in i_start_ls:
+        out.append(list(range(i_start, i_start + total_window_size, gap_cur + 1)))
+    return out
+
+
+@pytest.mark.parametrize("seq_len,snippet_len,dilation", [
+    (10, 3, 1), (100, 3, 25), (100, 3, 10), (30, 2, 5), (100, 4, 7), (9, 3, 2),
+])
+def test_snippet_indices_match_reference(seq_len, snippet_len, dilation):
+    ours = snippet_indices(seq_len, snippet_len, dilation)
+    ref = reference_get_snippet_indice(0, 1, seq_len, snippet_len, dilation, dilation, 1)
+    assert ours == ref
+    # stride-1 count: S = seq_len - (n-1)*d
+    assert len(ours) == seq_len - (snippet_len - 1) * dilation
+
+
+def test_refinement_gap_annealing():
+    # gap shrinks linearly from start_dilation-1 to 0 over the steps
+    # (/root/reference/rollingdepth/rollingdepth_pipeline.py:482-483)
+    gaps = [current_gap(i, 10, 6, 1) for i in range(10)]
+    assert gaps[0] == 5
+    assert gaps[-1] == 0 or gaps[-1] == gaps[-2] <= 1
+    assert all(a >= b for a, b in zip(gaps, gaps[1:]))
+
+
+def test_cap_max_dilation():
+    # floor(seq/snippet)-1 cap (/root/reference/.../rollingdepth_pipeline.py:504-515)
+    assert cap_max_dilation(100, 3, 25) == 25
+    assert cap_max_dilation(30, 3, 25) == 9
+    assert cap_max_dilation(9, 3, 5) == 2
+
+
+def test_index_matrix_and_coverage():
+    m = snippet_index_matrix(20, 3, 4)
+    assert m.shape == (20 - 2 * 4, 3)
+    cov = coverage_count(m, 20)
+    assert cov.sum() == m.size
+    assert (cov > 0).all()
+    padded = snippet_index_matrix(20, 3, 4, pad_to=16)
+    assert padded.shape == (16, 3)
+    assert (padded[-1] == m[-1]).all()
+
+
+def test_full_coverage_property():
+    for seq_len, d in [(100, 25), (75, 10), (100, 1)]:
+        m = snippet_index_matrix(seq_len, 3, d)
+        assert set(np.unique(m)) == set(range(seq_len))
