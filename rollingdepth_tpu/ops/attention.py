@@ -1,0 +1,64 @@
+"""Attention dispatch: Pallas flash kernel on TPU, fused XLA path elsewhere.
+
+This is the TPU-native replacement for the reference's only native-kernel
+dependency — xformers ``memory_efficient_attention``
+(/root/reference/diffusers/src/diffusers/models/attention_processor.py:
+2036-2038) and torch ``F.scaled_dot_product_attention`` (:2250-2252).
+
+The RollingDepth cross-frame self-attention runs over ``n*hw`` tokens per
+snippet (rearrange ``(b n) hw c -> b (n hw) c`` before QKV,
+attention_processor.py:1989-2002); in this framework the snippet axis is
+native, so callers simply pass ``[B, L, H, D]`` with ``L = n*hw``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(
+    q: jnp.ndarray,  # [B, L_q, H, D]
+    k: jnp.ndarray,  # [B, L_k, H, D]
+    v: jnp.ndarray,  # [B, L_k, H, D]
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Reference attention; XLA fuses this well on CPU and is the fallback
+    for shapes the flash kernel does not cover."""
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    # fp32 softmax for numerical parity with the fp16/bf16 torch kernels
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out
+
+
+@functools.partial(jax.named_call, name="dot_product_attention")
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head attention over ``[B, L, H, D]`` tensors.
+
+    ``use_flash=None`` auto-selects: Pallas flash kernel when running on TPU
+    and the shape is worth tiling, else the XLA einsum path.
+    """
+    if use_flash is None:
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and q.shape[1] >= 256
+            and k.shape[1] >= 256
+            and q.shape[-1] <= 256
+        )
+    if use_flash:
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale=scale)

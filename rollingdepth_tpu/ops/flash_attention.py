@@ -1,0 +1,126 @@
+"""Pallas TPU flash attention over the snippet token axis.
+
+TPU-native replacement for xformers ``memory_efficient_attention``
+(/root/reference/diffusers/src/diffusers/models/attention_processor.py:
+2036-2038): one fused kernel computing softmax(q k^T / sqrt(d)) v with online
+(streaming) softmax, so the ``[L_q, L_k]`` score matrix never hits HBM.  The
+RollingDepth workload is bidirectional full attention with L = n*hw up to
+~28k tokens and head_dim 64/160 — squarely flash-attention territory.
+
+Kernel layout: grid (batch*heads, q_blocks, k_blocks) with the k axis
+innermost; running max / normalizer / accumulator live in VMEM scratch and
+persist across the k iterations (TPU grid execution is sequential
+minor-to-major), initialized at k==0 and finalized at the last k block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, l_k, block_k):
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [BK, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale  # [BQ, BK]
+
+    # mask out zero-padded key positions in the final k block
+    if l_k % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+        s = jnp.where(col < l_k, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]  # [BQ, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # [BQ, BK]
+    corr = jnp.exp(m_prev - m_new)  # [BQ, 1]
+
+    l_ref[:, :1] = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:, :1] = m_new
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * corr + pv
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,  # [B, L_q, H, D]
+    k: jnp.ndarray,  # [B, L_k, H, D]
+    v: jnp.ndarray,  # [B, L_k, H, D]
+    scale: Optional[float] = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, l_q, h, d = q.shape
+    l_k = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    block_q = min(block_q, max(128, l_q))
+    block_k = min(block_k, max(128, l_k))
+
+    # [B*H, L, D] layout, pad L to block multiples
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf = _pad_to(fold(q), 1, block_q)
+    kf = _pad_to(fold(k), 1, block_k)
+    vf = _pad_to(fold(v), 1, block_k)
+    lq_pad, lk_pad = qf.shape[1], kf.shape[1]
+
+    grid = (b * h, lq_pad // block_q, lk_pad // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, l_k=l_k, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    out = out[:, :l_q, :].reshape(b, h, l_q, d).transpose(0, 2, 1, 3)
+    return out

@@ -5,13 +5,20 @@ Must set platform flags before jax initializes (first import wins).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+# the axon TPU plugin re-pins jax_platforms during import; override it back
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

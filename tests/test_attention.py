@@ -1,0 +1,46 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rollingdepth_tpu.ops.attention import _xla_attention
+from rollingdepth_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("b,lq,lk,h,d", [
+    (1, 128, 128, 2, 64),
+    (2, 300, 300, 1, 64),   # non-multiple of block: exercises padding/masking
+    (1, 1024, 1024, 2, 64),
+    (1, 257, 513, 2, 128),
+])
+def test_flash_matches_xla(b, lq, lk, h, d):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, lq, h, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, lk, h, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, lk, h, d), dtype=jnp.float32)
+
+    ref = _xla_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_matches_torch_sdpa(torch_oracle):
+    import torch
+
+    b, l, h, d = 1, 200, 3, 32
+    rng = np.random.RandomState(0)
+    q = rng.randn(b, l, h, d).astype(np.float32)
+    k = rng.randn(b, l, h, d).astype(np.float32)
+    v = rng.randn(b, l, h, d).astype(np.float32)
+
+    # torch sdpa expects [B, H, L, D]
+    tq, tk, tv = (torch.from_numpy(x.transpose(0, 2, 1, 3)) for x in (q, k, v))
+    ref = torch.nn.functional.scaled_dot_product_attention(tq, tk, tv)
+    ref = ref.numpy().transpose(0, 2, 1, 3)
+
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+    out2 = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out2), ref, rtol=2e-5, atol=2e-5)
