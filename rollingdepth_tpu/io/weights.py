@@ -1,0 +1,169 @@
+"""Torch/safetensors checkpoint -> JAX pytree conversion.
+
+The reference loads diffusers-format checkpoints via
+``DiffusionPipeline.from_pretrained`` with ``model_index.json`` subfolders
+(/root/reference/run_video.py:530-532, diffusers pipeline_utils.py).  This
+module is the one-time converter: it maps torch state dicts onto the
+functional pytrees of our NHWC models, applying the layout changes
+(conv OIHW -> HWIO, linear [O,I] -> [I,O], norm weight -> scale) and — for
+the relighting stack — the IC-Light checkpoint-load transforms
+(conv_in 4->12ch zero-pad surgery + additive offset merge,
+/root/reference/rollingdepth/rollingimg_pipeline.py:1068-1087).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# generic state-dict translation
+# ---------------------------------------------------------------------------
+
+
+def _to_numpy(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor without importing torch at module scope
+    return t.detach().cpu().float().numpy()
+
+
+def translate_tensor(name_leaf: str, t: np.ndarray):
+    """Map a torch parameter to (our leaf name, transposed array)."""
+    if name_leaf == "weight":
+        if t.ndim == 4:  # conv OIHW -> HWIO
+            return "kernel", np.transpose(t, (2, 3, 1, 0))
+        if t.ndim == 2:  # linear [O, I] -> [I, O]
+            return "kernel", np.transpose(t, (1, 0))
+        return "scale", t  # group/layer norm
+    return name_leaf, t  # bias etc.
+
+
+def state_dict_to_pytree(
+    state_dict: Mapping[str, Any],
+    dtype=jnp.float32,
+    key_filter=None,
+) -> Params:
+    """Build a nested pytree from dotted torch keys.
+
+    Integer path segments become list indices; the ``.0`` of ``to_out.0``
+    (diffusers wraps the out-projection in a ModuleList with dropout) is
+    dropped.
+    """
+    tree: Params = {}
+    for key, tensor in state_dict.items():
+        if key_filter is not None:
+            key = key_filter(key)
+            if key is None:
+                continue
+        # diffusers FeedForward: net.0 is the GEGLU proj, net.1 dropout,
+        # net.2 the out linear — flatten to our {proj, out} naming
+        key = key.replace(".ff.net.0.proj.", ".ff.proj.").replace(".ff.net.2.", ".ff.out.")
+        t = _to_numpy(tensor)
+        parts = key.split(".")
+        # diffusers attention out proj: "to_out.0" -> "to_out"
+        cleaned = []
+        for i, part in enumerate(parts[:-1]):
+            if part == "0" and cleaned and cleaned[-1] == "to_out":
+                continue
+            cleaned.append(part)
+        leaf_name, arr = translate_tensor(parts[-1], t)
+        node = tree
+        for part in cleaned:
+            key_part: Any = int(part) if part.isdigit() else part
+            node = node.setdefault(key_part, {})
+        node[leaf_name] = jnp.asarray(arr, dtype=dtype)
+    return _intdicts_to_lists(tree)
+
+
+def _intdicts_to_lists(node):
+    if isinstance(node, dict):
+        if node and all(isinstance(k, int) for k in node):
+            return [_intdicts_to_lists(node[i]) for i in sorted(node)]
+        return {k: _intdicts_to_lists(v) for k, v in node.items()}
+    return node
+
+
+# ---------------------------------------------------------------------------
+# safetensors / diffusers-layout loading
+# ---------------------------------------------------------------------------
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="numpy") as f:
+        for key in f.keys():
+            out[key] = f.get_tensor(key)
+    return out
+
+
+def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def load_module_state_dict(model_dir: str, subfolder: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Load a diffusers module's weights from a checkpoint dir (safetensors
+    preferred, torch .bin fallback)."""
+    d = os.path.join(model_dir, subfolder) if subfolder else model_dir
+    candidates = [
+        "diffusion_pytorch_model.safetensors",
+        "model.safetensors",
+        "diffusion_pytorch_model.bin",
+        "pytorch_model.bin",
+    ]
+    for name in candidates:
+        path = os.path.join(d, name)
+        if os.path.exists(path):
+            if path.endswith(".safetensors"):
+                return load_safetensors(path)
+            return load_torch_bin(path)
+    raise FileNotFoundError(f"No weight file found under {d} (tried {candidates})")
+
+
+def load_config(model_dir: str, subfolder: Optional[str] = None) -> dict:
+    d = os.path.join(model_dir, subfolder) if subfolder else model_dir
+    for name in ("config.json", "scheduler_config.json"):
+        path = os.path.join(d, name)
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+    raise FileNotFoundError(f"No config json under {d}")
+
+
+# ---------------------------------------------------------------------------
+# IC-Light checkpoint-load transforms
+# ---------------------------------------------------------------------------
+
+
+def expand_conv_in(state_dict: Dict[str, np.ndarray], new_in_channels: int) -> Dict[str, np.ndarray]:
+    """conv_in 4->N channel zero-pad surgery, applied at conversion time
+    (/root/reference/rollingdepth/rollingimg_pipeline.py:1068-1074)."""
+    sd = dict(state_dict)
+    w = sd["conv_in.weight"]  # [O, I, kh, kw]
+    o, i, kh, kw = w.shape
+    if i < new_in_channels:
+        pad = np.zeros((o, new_in_channels - i, kh, kw), dtype=w.dtype)
+        sd["conv_in.weight"] = np.concatenate([w, pad], axis=1)
+    return sd
+
+
+def merge_offset(
+    state_dict: Dict[str, np.ndarray], offset: Mapping[str, Any]
+) -> Dict[str, np.ndarray]:
+    """IC-Light additive offset merge: merged[k] = origin[k] + offset[k]
+    (/root/reference/rollingdepth/rollingimg_pipeline.py:1082-1087)."""
+    sd = dict(state_dict)
+    for k, v in offset.items():
+        sd[k] = sd[k] + _to_numpy(v)
+    return sd
