@@ -1,0 +1,190 @@
+"""Snippet co-alignment solver (scale/shift per snippet).
+
+Behavioral reference: /root/reference/rollingdepth/depth_aligner.py:29-262
+(and its multi-channel variant my_aligner.py).  Per snippet window a scalar
+scale s (init 1) and shift t (init 0) are optimized with Adam
+(lr 1e-3, betas (0.5, 0.9), 2000 iterations) so that all windows covering a
+frame agree, measured by L1 in depth and inverse-depth against the detached
+per-frame mean, plus soft constraints lmda2*relu(1-s)^2 + lmda3*t^2
+(depth_aligner.py:163-214).  The solver sees border-cropped (2px),
+spatially ::factor-subsampled snippets (:82-92); the solved (s, t) are then
+applied at full resolution and overlapping windows averaged per frame
+(:231-262).
+
+TPU-first redesign: the reference materializes dense [sum(w), T, HW] scatter
+buffers per Adam step inside a Python closure.  Here the objective is a pure
+function using segment-sum scatters into a [T, P] accumulator, the whole
+2000-step Adam run is one ``lax.scan`` under jit (zero host round-trips), and
+channels are handled natively (C>=1), which subsumes the my_aligner.py
+variant used for per-RGB-channel alignment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .pipelines.snippets import snippet_index_matrix
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignerConfig:
+    """Hyperparameters, defaults from depth_aligner.py:30-54."""
+
+    factor: int = 10  # spatial subsample stride for the solve
+    lmda: float = 1e-1  # unused by the reference objective; kept for API parity
+    lmda2: float = 1e-1  # soft constraint weight on (1 - s)
+    lmda3: float = 1e1  # soft constraint weight on t
+    lr: float = 1e-3
+    num_iterations: int = 2000
+    border: int = 2
+    depth_loss_weight: float = 1.0
+    loss_scale: float = 1.0
+
+
+class DepthAligner:
+    def __init__(self, config: AlignerConfig = AlignerConfig(), verbose: bool = False):
+        self.config = config
+        self.verbose = verbose
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        snippet_ls: Sequence[jnp.ndarray],  # per dilation: [S_g, w_g, C, H, W]
+        dilations: Sequence[int],
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray], jnp.ndarray]:
+        """Returns (merged [N, C, H, W], scales, translations, loss_history).
+
+        ``loss_history`` is [iters, 3]: (loss, per-frame-mean min, max) per
+        step, matching the tuples the reference records
+        (depth_aligner.py:213).
+        """
+        cfg = self.config
+        snippet_ls = [jnp.asarray(s, dtype=jnp.float32) for s in snippet_ls]
+        w0 = snippet_ls[0].shape[1]
+        gap0 = dilations[0] - 1
+        # N = S_0 + (w0-1)*gap0 + (w0-1)  (depth_aligner.py:72-76)
+        seq_len = snippet_ls[0].shape[0] + (w0 - 1) * gap0 + (w0 - 1)
+
+        # global min shift (:78-79)
+        mn = jnp.min(jnp.stack([s.min() for s in snippet_ls]))
+        snippet_ls = [s - mn for s in snippet_ls]
+
+        # border crop + spatial subsample (:82-92)
+        b, f = cfg.border, cfg.factor
+        # b:-b:f == crop-then-stride, the reference order
+        solver_views = [s[:, :, :, b:-b:f, b:-b:f] for s in snippet_ls]
+
+        index_mats = [
+            jnp.asarray(snippet_index_matrix(seq_len, s.shape[1], d))
+            for s, d in zip(snippet_ls, dilations)
+        ]
+
+        scales, translations, history = self._optimize(solver_views, index_mats, seq_len)
+        merged = self._merge(snippet_ls, index_mats, scales, translations, seq_len)
+        return merged, scales, translations, history
+
+    # ------------------------------------------------------------------
+    def _optimize(self, views, index_mats, seq_len: int):
+        cfg = self.config
+        # flatten pixels: [S, w, P] with P = C*H'*W'  (C-native generalization
+        # of depth_aligner.py:140-143 / my_aligner.py:148-153)
+        flat = [v.reshape(v.shape[0], v.shape[1], -1) for v in views]
+        p_dim = flat[0].shape[-1]
+        rows_total = sum(v.shape[1] for v in views)  # sum of window lengths
+        denom = rows_total * seq_len * p_dim  # numel of the reference's M
+
+        counts = jnp.zeros((seq_len,), jnp.float32)
+        for idx in index_mats:
+            counts = counts.at[idx.reshape(-1)].add(1.0)
+
+        def loss_fn(params):
+            s_list, t_list = params
+            sum_m = jnp.zeros((seq_len, p_dim), jnp.float32)
+            sum_inv = jnp.zeros((seq_len, p_dim), jnp.float32)
+            a_list, ainv_list = [], []
+            for v, idx, s, t in zip(flat, index_mats, s_list, t_list):
+                a = v * s[:, None, None] + t[:, None, None]  # [S, w, P]
+                a_inv = jnp.clip(a, 1e-3, None) ** -1
+                flat_idx = idx.reshape(-1)
+                sum_m = sum_m.at[flat_idx].add(a.reshape(-1, p_dim))
+                sum_inv = sum_inv.at[flat_idx].add(a_inv.reshape(-1, p_dim))
+                a_list.append(a)
+                ainv_list.append(a_inv)
+
+            target = jax.lax.stop_gradient(sum_m / counts[:, None])
+            target_inv = jax.lax.stop_gradient(sum_inv / counts[:, None])
+            scale = jnp.abs(target).mean(-1, keepdims=True)  # [T, 1]
+            scale_inv = jnp.abs(target_inv).mean(-1, keepdims=True)
+            scale = jax.lax.stop_gradient(scale)
+            scale_inv = jax.lax.stop_gradient(scale_inv)
+
+            loss_m = 0.0
+            loss_inv = 0.0
+            for a, a_inv, idx in zip(a_list, ainv_list, index_mats):
+                tgt = target[idx]  # [S, w, P]
+                tgt_inv = target_inv[idx]
+                sc = scale[idx]
+                sc_inv = scale_inv[idx]
+                loss_m += jnp.abs((a - tgt) / sc).sum()
+                loss_inv += jnp.abs((a_inv - tgt_inv) / sc_inv).sum()
+            loss = loss_m / denom + cfg.depth_loss_weight * (loss_inv / denom)
+
+            soft = 0.0
+            for s, t in zip(s_list, t_list):
+                soft += cfg.lmda2 * (jnp.maximum(0.0, 1.0 - s) ** 2).mean()
+                soft += cfg.lmda3 * (t**2).mean()
+            total = cfg.loss_scale * loss + soft
+            aux = (target.min(), target.max())
+            return total, aux
+
+        params = (
+            [jnp.ones((v.shape[0],), jnp.float32) for v in flat],
+            [jnp.zeros((v.shape[0],), jnp.float32) for v in flat],
+        )
+        # torch.optim.Adam(lr, betas=(0.5, 0.9)) equivalent
+        # (depth_aligner.py:159)
+        opt = optax.adam(cfg.lr, b1=0.5, b2=0.9, eps=1e-8)
+
+        @jax.jit
+        def solve(params):
+            state = opt.init(params)
+
+            def step(carry, _):
+                params, state = carry
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, state = opt.update(grads, state)
+                params = optax.apply_updates(params, updates)
+                return (params, state), jnp.stack([loss, aux[0], aux[1]])
+
+            (params, _), history = jax.lax.scan(
+                step, (params, state), None, length=cfg.num_iterations
+            )
+            return params, history
+
+        (s_list, t_list), history = solve(params)
+        return list(s_list), list(t_list), history
+
+    # ------------------------------------------------------------------
+    def _merge(self, snippet_ls, index_mats, scales, translations, seq_len: int) -> jnp.ndarray:
+        """Apply (s, t) at full res; average covering windows per frame
+        (depth_aligner.py:231-262)."""
+        c, h, w = snippet_ls[0].shape[-3:]
+
+        @jax.jit
+        def merge(snippets, s_list, t_list):
+            acc = jnp.zeros((seq_len, c, h, w), jnp.float32)
+            cnt = jnp.zeros((seq_len,), jnp.float32)
+            for v, idx, s, t in zip(snippets, index_mats, s_list, t_list):
+                a = v * s[:, None, None, None, None] + t[:, None, None, None, None]
+                flat_idx = idx.reshape(-1)
+                acc = acc.at[flat_idx].add(a.reshape(-1, c, h, w))
+                cnt = cnt.at[flat_idx].add(1.0)
+            return acc / cnt[:, None, None, None]
+
+        return merge(snippet_ls, scales, translations)
