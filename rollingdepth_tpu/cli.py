@@ -1,0 +1,217 @@
+"""CLI driver — preset-compatible rebuild of /root/reference/run_video.py.
+
+Two modes share the preset system (run_video.py:413-468):
+- depth (canonical upstream path): ``-i <video>`` -> depth npy + colorized
+  mp4(s) + optional side-by-side / snippets outputs (the output suite at
+  run_video.py:636-701)
+- relight (the fork's active path): ``-fi <fg> -bi <bg>`` -> relit RGB video
+  (run_video.py:560-628)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .io.colorize import colorize_depth_multi_thread
+from .io.video import (
+    concatenate_videos_horizontally,
+    enumerate_videos,
+    get_video_fps,
+    write_video_from_numpy,
+)
+from .utils.presets import resolve_preset, str2bool
+
+EXAMPLE_DOC_STRING = "python run_video.py -i video.mp4 -o output/ -p fast"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Run video depth estimation / relighting using RollingDepth (TPU)."
+    )
+    parser.add_argument("-i", "--input-video", type=str, default=None, dest="input_video",
+                        help="Input video(s): file, .txt list, or directory (depth mode).")
+    parser.add_argument("-fi", "--input-fg-video", type=str, default=None, dest="input_fg_video",
+                        help="Foreground video(s) (relight mode).")
+    parser.add_argument("-bi", "--input-bg-video", type=str, default=None, dest="input_bg_video",
+                        help="Background video(s) (relight mode).")
+    parser.add_argument("-o", "--output-dir", type=str, required=True, dest="output_dir")
+    parser.add_argument("-p", "--preset", type=str, default="fast",
+                        choices=["fast", "fast1024", "full", "paper", "none"])
+    parser.add_argument("--start-frame", "--from", type=int, default=0, dest="start_frame")
+    parser.add_argument("--frame-count", "--frames", type=int, default=0, dest="frame_count")
+    parser.add_argument("-c", "--checkpoint", type=str, default="prs-eth/rollingdepth-v1-0")
+    parser.add_argument("--res", "--processing-resolution", type=int, default=None, dest="res")
+    parser.add_argument("--max-vae-bs", type=int, default=4)
+    parser.add_argument("--fps", "--output-fps", type=int, default=0, dest="output_fps")
+    parser.add_argument("--restore-res", type=str2bool, default=False, dest="restore_res")
+    parser.add_argument("--save-sbs", "--save-side-by-side", type=str2bool, default=True, dest="save_sbs")
+    parser.add_argument("--save-npy", type=str2bool, default=True)
+    parser.add_argument("--save-snippets", type=str2bool, default=False)
+    parser.add_argument("--cmap", "--color-maps", type=str, nargs="+",
+                        default=["Spectral_r", "Greys_r"], dest="color_maps")
+    parser.add_argument("-d", "--dilations", type=int, nargs="+", default=None, dest="dilations")
+    parser.add_argument("--cap-dilation", type=str2bool, default=None, dest="cap_dilation")
+    parser.add_argument("--dtype", "--precision", type=str, default=None,
+                        choices=["fp16", "fp32", "bf16", None], dest="dtype")
+    parser.add_argument("--snippet-lengths", type=int, nargs="+", default=None, dest="snippet_lengths")
+    parser.add_argument("--refine-step", type=int, default=None, dest="refine_step")
+    parser.add_argument("--refine-snippet-len", type=int, default=None)
+    parser.add_argument("--refine-start-dilation", type=int, default=None)
+    parser.add_argument("--init-infer-steps", type=int, nargs="+", default=None)
+    parser.add_argument("--resample-method", type=str, default="BILINEAR",
+                        choices=["BILINEAR", "NEAREST_EXACT", "BICUBIC"])
+    parser.add_argument("--unload-snippet", type=str2bool, default=False)
+    parser.add_argument("--snippet-batch", type=int, default=8,
+                        help="Snippets denoised per device step (TPU batching).")
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--seed", type=int, default=None)
+    return parser
+
+
+def resolve_args(argv=None):
+    parser = build_parser()
+    input_args = parser.parse_args(argv)
+    overrides = {
+        k: v
+        for k, v in vars(input_args).items()
+        if k
+        in {
+            "res", "snippet_lengths", "cap_dilation", "dtype", "refine_snippet_len",
+            "refine_start_dilation", "dilations", "refine_step", "init_infer_steps",
+            "max_vae_bs", "unload_snippet", "restore_res", "resample_method",
+            "start_frame", "frame_count", "seed", "verbose", "snippet_batch",
+        }
+        and v is not None
+    }
+    settings = resolve_preset(input_args.preset, overrides)
+    return input_args, settings
+
+
+def run_depth(args, settings) -> None:
+    from .io.pretrained import load_rollingdepth_pipeline
+
+    logging.info("Loading checkpoint from %s", args.checkpoint)
+    pipe = load_rollingdepth_pipeline(
+        args.checkpoint, dtype=settings.dtype, snippet_batch=settings.snippet_batch
+    )
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    videos = enumerate_videos(args.input_video)
+
+    for video_path in videos:
+        video_path = Path(video_path)
+        logging.info("Processing %s", video_path)
+        out = pipe(
+            input_video_path=video_path,
+            start_frame=settings.start_frame,
+            frame_count=settings.frame_count,
+            processing_res=settings.res,
+            resample_method=settings.resample_method,
+            dilations=list(settings.dilations),
+            cap_dilation=settings.cap_dilation,
+            snippet_lengths=list(settings.snippet_lengths),
+            init_infer_steps=list(settings.init_infer_steps),
+            strides=list(settings.strides),
+            refine_step=settings.refine_step,
+            refine_snippet_len=settings.refine_snippet_len,
+            refine_start_dilation=settings.refine_start_dilation,
+            seed=settings.seed,
+            verbose=settings.verbose,
+            max_vae_bs=settings.max_vae_bs,
+            unload_snippet=settings.unload_snippet,
+            restore_res=settings.restore_res,
+        )
+        save_depth_outputs(out, video_path, output_dir, args)
+    logging.info("Finished. %d predictions are saved to %s", len(videos), output_dir)
+
+
+def save_depth_outputs(pipe_out, video_path: Path, output_dir: Path, args) -> None:
+    """The reference output suite (run_video.py:636-701)."""
+    depth_pred = pipe_out.depth_pred  # [N, 1, H, W]
+    output_fps = args.output_fps
+    if not output_fps > 0:
+        try:
+            output_fps = int(get_video_fps(video_path))
+        except Exception:
+            output_fps = 30
+
+    if args.save_npy:
+        save_to = output_dir / f"{video_path.stem}_pred.npy"
+        np.save(save_to, depth_pred.squeeze(1))  # [N, H, W]
+
+    if args.save_snippets and pipe_out.snippet_ls is not None:
+        save_to = output_dir / f"{video_path.stem}_snippets.npz"
+        snippet_dict = {}
+        for i_dil, snippets in enumerate(pipe_out.snippet_ls):
+            snippet_dict[f"dilation{i_dil}"] = snippets.squeeze(2)
+        np.savez_compressed(save_to, **snippet_dict)
+
+    for i_cmap, cmap in enumerate(args.color_maps):
+        if cmap == "":
+            continue
+        colored_np = colorize_depth_multi_thread(
+            depth=depth_pred, valid_mask=None, chunk_size=4, num_threads=4,
+            color_map=cmap, verbose=args.verbose,
+        )  # [n, h, w, 3] uint8
+        save_to = output_dir / f"{video_path.stem}_{cmap}.mp4"
+        write_video_from_numpy(colored_np, save_to, fps=output_fps, crf=23,
+                               preset="medium", verbose=args.verbose)
+
+        if args.save_sbs and i_cmap == 0:
+            rgb = (pipe_out.input_rgb * 255).astype(np.uint8)  # [N, 3, H, W]
+            colored_chw = colored_np.transpose(0, 3, 1, 2)
+            concat = concatenate_videos_horizontally(rgb, colored_chw, gap=10)
+            concat = np.clip(concat, 0, 255).astype(np.uint8).transpose(0, 2, 3, 1)
+            save_to = output_dir / f"{video_path.stem}_rgbd.mp4"
+            write_video_from_numpy(concat, save_to, fps=output_fps, crf=23,
+                                   preset="medium", verbose=args.verbose)
+
+
+def run_relight(args, settings) -> None:
+    from .io.pretrained_relight import load_relight_pipeline
+
+    pipe = load_relight_pipeline(args.checkpoint, dtype=settings.dtype,
+                                 snippet_batch=settings.snippet_batch)
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fg_videos = enumerate_videos(args.input_fg_video)
+    bg_videos = enumerate_videos(args.input_bg_video)
+    for fg in fg_videos:
+        for bg in bg_videos:
+            fg, bg = Path(fg), Path(bg)
+            out = pipe(
+                input_fg_video_path=fg,
+                input_bg_video_path=bg,
+                start_frame=settings.start_frame,
+                frame_count=settings.frame_count,
+                seed=settings.seed,
+                verbose=settings.verbose,
+                max_vae_bs=settings.max_vae_bs,
+            )
+            combined = np.concatenate([out.R_pred, out.G_pred, out.B_pred], axis=1)
+            combined = np.clip(combined * 255, 0, 255).astype(np.uint8)
+            combined = combined.transpose(0, 2, 3, 1)
+            fps = args.output_fps if args.output_fps > 0 else 30
+            write_video_from_numpy(combined, output_dir / f"{fg.stem}_rgb.mp4",
+                                   fps=fps, verbose=settings.verbose)
+    logging.info("Finished. Saved to %s", output_dir)
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    args, settings = resolve_args(argv)
+    logging.info("arguments: %s", settings)
+    if args.input_fg_video and args.input_bg_video:
+        run_relight(args, settings)
+    elif args.input_video:
+        run_depth(args, settings)
+    else:
+        raise SystemExit(
+            "Provide -i for depth estimation or -fi/-bi for relighting."
+        )

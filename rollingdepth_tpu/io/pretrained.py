@@ -1,0 +1,101 @@
+"""Diffusers-layout checkpoint loading -> assembled TPU pipelines.
+
+Behavioral reference: ``DiffusionPipeline.from_pretrained`` with
+``model_index.json`` subfolders (unet/vae/scheduler/text_encoder/tokenizer)
+— /root/reference/run_video.py:530-532 and the vendored
+diffusers/pipeline_utils.py.  Here loading is a one-time torch->pytree
+conversion per module.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..models.clip_text import CLIPTextConfig, CLIPTextModel
+from ..models.unet import UNet2DCondition, UNetConfig
+from ..models.vae import AutoencoderKL, VAEConfig
+from ..schedulers.ddim import DDIMConfig, DDIMScheduler
+from .tokenizer import CLIPTokenizer
+from .weights import load_config, load_module_state_dict, state_dict_to_pytree
+
+logger = logging.getLogger(__name__)
+
+DTYPE_MAP = {
+    "fp16": jnp.bfloat16,  # TPU-native half precision (SURVEY.md §7)
+    "bf16": jnp.bfloat16,
+    "fp32": jnp.float32,
+    "float16": jnp.bfloat16,
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+}
+
+
+def _clip_key_filter(key: str) -> Optional[str]:
+    if "position_ids" in key:
+        return None
+    return key.removeprefix("text_model.")
+
+
+def load_text_encoder(checkpoint_dir: str, dtype=jnp.float32):
+    cfg = CLIPTextConfig.from_dict(load_config(checkpoint_dir, "text_encoder"))
+    model = CLIPTextModel(cfg)
+    sd = load_module_state_dict(checkpoint_dir, "text_encoder")
+    params = state_dict_to_pytree(sd, dtype=dtype, key_filter=_clip_key_filter)
+    return model, params
+
+
+def load_unet(checkpoint_dir: str, dtype=jnp.float32, subfolder: str = "unet"):
+    cfg = UNetConfig.from_dict(load_config(checkpoint_dir, subfolder))
+    model = UNet2DCondition(cfg)
+    sd = load_module_state_dict(checkpoint_dir, subfolder)
+    params = state_dict_to_pytree(sd, dtype=dtype)
+    return model, params
+
+
+def load_vae(checkpoint_dir: str, dtype=jnp.float32, subfolder: str = "vae"):
+    cfg = VAEConfig.from_dict(load_config(checkpoint_dir, subfolder))
+    model = AutoencoderKL(cfg)
+    sd = load_module_state_dict(checkpoint_dir, subfolder)
+    params = state_dict_to_pytree(sd, dtype=dtype)
+    return model, params
+
+
+def load_rollingdepth_pipeline(
+    checkpoint_dir: str,
+    dtype="fp16",
+    snippet_batch: int = 8,
+):
+    """Assemble the depth pipeline from a rollingdepth-v1-0-style checkpoint.
+
+    Equivalent of RollingDepthPipeline.from_pretrained in the reference
+    (run_video.py:530-532): reads model_index.json subfolders, converts each
+    torch module, precomputes the empty-prompt embedding."""
+    from ..pipelines.rollingdepth import RollingDepthPipeline
+
+    jdtype = DTYPE_MAP[str(dtype)] if isinstance(dtype, str) else dtype
+
+    unet, unet_params = load_unet(checkpoint_dir, jdtype)
+    vae, vae_params = load_vae(checkpoint_dir, jdtype)
+    sched_cfg = DDIMConfig.from_dict(load_config(checkpoint_dir, "scheduler"))
+    scheduler = DDIMScheduler(sched_cfg)
+
+    # empty-prompt embedding, computed once
+    # (/root/reference/rollingdepth/rollingdepth_pipeline.py:178-191)
+    text_model, text_params = load_text_encoder(checkpoint_dir)
+    tokenizer = CLIPTokenizer.from_pretrained(checkpoint_dir)
+    ids = jnp.asarray([tokenizer("", padding="do_not_pad")])
+    empty_embed = text_model.apply(text_params, ids)
+
+    pipe = RollingDepthPipeline(
+        unet, unet_params, vae, vae_params, scheduler, empty_embed,
+        dtype=jdtype, snippet_batch=snippet_batch,
+    )
+    pipe.tokenizer = tokenizer
+    pipe.text_model = text_model
+    pipe.text_params = text_params
+    return pipe

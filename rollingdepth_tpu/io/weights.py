@@ -34,9 +34,11 @@ def _to_numpy(t) -> np.ndarray:
     return t.detach().cpu().float().numpy()
 
 
-def translate_tensor(name_leaf: str, t: np.ndarray):
+def translate_tensor(name_leaf: str, t: np.ndarray, parent: str = ""):
     """Map a torch parameter to (our leaf name, transposed array)."""
     if name_leaf == "weight":
+        if parent.endswith("embedding"):  # nn.Embedding: [num, dim], no transpose
+            return "embedding", t
         if t.ndim == 4:  # conv OIHW -> HWIO
             return "kernel", np.transpose(t, (2, 3, 1, 0))
         if t.ndim == 2:  # linear [O, I] -> [I, O]
@@ -73,7 +75,7 @@ def state_dict_to_pytree(
             if part == "0" and cleaned and cleaned[-1] == "to_out":
                 continue
             cleaned.append(part)
-        leaf_name, arr = translate_tensor(parts[-1], t)
+        leaf_name, arr = translate_tensor(parts[-1], t, parent=cleaned[-1] if cleaned else "")
         node = tree
         for part in cleaned:
             key_part: Any = int(part) if part.isdigit() else part
