@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark: fast-preset depth pipeline throughput on one TPU chip.
+
+Workload = BASELINE.json config[1]: the `fast` preset shape (dilations
+[1, 25] capped by clip length, snippet_len 3, 1-step DDIM denoise, bf16) at
+768x432 on an SD2-shaped UNet + SD VAE with random weights (no released
+checkpoint is downloadable in this environment; throughput is
+weight-independent).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured fps divided by an estimated RTX-3090 fps for the
+same workload (the reference publishes no numbers — BASELINE.md), where the
+estimate uses a FLOP model of the fast preset and 40% fp16 utilization on
+the 3090's 71 TFLOP/s. The driver target is vs_baseline >= 5.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def flops_per_frame(h=768, w=432, dilation_count=2, snippet_len=3, unet_steps=1):
+    """Analytic FLOP model of the fast preset per video frame."""
+    lat_h, lat_w = h // 8, w // 8
+    # SD2 UNet forward ~= 680 GFLOP at 64x64 latent, scales with latent area
+    unet_per_frame = 680e9 * (lat_h * lat_w) / (64 * 64)
+    # SD VAE: encode ~= 560 GFLOP, decode ~= 1260 GFLOP at 512x512, scale by area
+    vae_scale = (h * w) / (512 * 512)
+    enc = 560e9 * vae_scale
+    dec = 1260e9 * vae_scale
+    # per frame: 1 encode; per dilation: `unet_steps` UNet evals + 1 decode
+    return enc + dilation_count * (unet_steps * unet_per_frame + dec)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
+    from rollingdepth_tpu.models.vae import AutoencoderKL, VAEConfig
+    from rollingdepth_tpu.pipelines.rollingdepth import RollingDepthPipeline
+    from rollingdepth_tpu.schedulers.ddim import DDIMConfig, DDIMScheduler
+
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    h, w = 768, 432  # 16:9 at max edge 768 (fast preset res)
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.perf_counter()
+    unet = UNet2DCondition(UNetConfig.sd21(in_channels=8))
+    vae = AutoencoderKL(VAEConfig())
+    key = jax.random.PRNGKey(0)
+    unet_params = unet.init(key, dtype=jnp.bfloat16)
+    vae_params = vae.init(jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    scheduler = DDIMScheduler(
+        DDIMConfig(beta_schedule="scaled_linear", timestep_spacing="trailing")
+    )
+    text = jnp.zeros((1, 2, 1024), jnp.bfloat16)
+    pipe = RollingDepthPipeline(
+        unet, unet_params, vae, vae_params, scheduler, text,
+        dtype=jnp.bfloat16, snippet_batch=8,
+    )
+    print(f"[bench] setup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(n_frames, 3, h, w).astype(np.float32) * 2 - 1)
+
+    kwargs = dict(dilations=[1, 25], cap_dilation=True, refine_step=0, seed=0)
+
+    # warmup (compiles all shape buckets)
+    t0 = time.perf_counter()
+    out = pipe.forward(frames, **kwargs)
+    assert np.isfinite(out.depth_pred).all()
+    print(f"[bench] warmup (incl. compile) {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # timed
+    t0 = time.perf_counter()
+    out = pipe.forward(frames, **kwargs)
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(out.depth_pred).all()
+    fps = n_frames / elapsed
+    print(
+        f"[bench] {n_frames} frames in {elapsed:.2f}s -> {fps:.2f} fps; "
+        f"timings {pipe.last_timings}",
+        file=sys.stderr,
+    )
+
+    # 3090 estimate for the same workload (documented in module docstring)
+    est_3090_fps = 71e12 * 0.40 / flops_per_frame(h, w)
+    result = {
+        "metric": "depth_fps_768p_fast_1chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / est_3090_fps, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

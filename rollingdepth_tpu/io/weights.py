@@ -60,6 +60,8 @@ def state_dict_to_pytree(
     """
     tree: Params = {}
     for key, tensor in state_dict.items():
+        if key.endswith("num_batches_tracked"):  # BatchNorm bookkeeping
+            continue
         if key_filter is not None:
             key = key_filter(key)
             if key is None:

@@ -34,7 +34,16 @@ Params = Dict[str, Any]
 
 
 def _uniform(key, shape, scale, dtype):
-    return jax.random.uniform(key, shape, dtype=jnp.float32, minval=-scale, maxval=scale).astype(dtype)
+    # host-side numpy init (seeded from the JAX key): initializing ~10^3
+    # parameters as separate device programs would mean ~10^3 tiny XLA
+    # compiles — numpy keeps init instant and the first device transfer
+    # happens in one batch at first use
+    import numpy as np
+
+    seed = np.asarray(jax.random.key_data(key)).ravel()
+    rng = np.random.default_rng([int(s) for s in seed])
+    arr = rng.uniform(-scale, scale, size=shape).astype(np.float32)
+    return jnp.asarray(arr, dtype=dtype)
 
 
 def linear_init(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.float32) -> Params:
@@ -264,10 +273,18 @@ def downsample_conv(p: Params, x: jnp.ndarray, asymmetric_pad: bool) -> jnp.ndar
     return conv2d(p, x, stride=2, padding=pad)
 
 
-def upsample_nearest_conv(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Upsample2D: nearest 2x + conv3x3 (upsampling.py)."""
+def upsample_nearest_conv(p: Params, x: jnp.ndarray, output_size=None) -> jnp.ndarray:
+    """Upsample2D: nearest 2x (or to an explicit size, for odd skip shapes —
+    diffusers' forward_upsample_size path) + conv3x3 (upsampling.py)."""
     n, h, w, c = x.shape
-    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    if output_size is None or output_size == (2 * h, 2 * w):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    else:
+        th, tw = output_size
+        # torch F.interpolate nearest: out[i] = in[floor(i * in/out)]
+        rows = jnp.floor(jnp.arange(th) * (h / th)).astype(jnp.int32)
+        cols = jnp.floor(jnp.arange(tw) * (w / tw)).astype(jnp.int32)
+        x = x[:, rows][:, :, cols]
     return conv2d(p, x, padding=1)
 
 

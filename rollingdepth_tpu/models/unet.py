@@ -304,7 +304,10 @@ def unet_apply(
                     attns[j], hidden, context, n, cfg, cfg.heads_at(level), use_flash
                 )
         if "upsamplers" in block:
-            hidden = L.upsample_nearest_conv(block["upsamplers"][0]["conv"], hidden)
+            # match the next skip's spatial size (odd-dim latents;
+            # unet_2d_condition.py forward_upsample_size)
+            target = res_stack[-1].shape[1:3] if res_stack else None
+            hidden = L.upsample_nearest_conv(block["upsamplers"][0]["conv"], hidden, target)
 
     hidden = L.group_norm(params["conv_norm_out"], hidden, g, eps=1e-5)
     hidden = L.silu(hidden)

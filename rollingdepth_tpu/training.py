@@ -1,0 +1,97 @@
+"""Diffusion fine-tuning step for the RollingDepth UNet.
+
+The reference performs no training (checkpoint load only, SURVEY.md §5), but
+the upstream model IS a fine-tuned SD2 — this module provides the TPU-native
+fine-tuning story: Marigold/RollingDepth-style (rgb latent, depth latent)
+pair training where the UNet learns eps/v prediction of the depth latent
+conditioned on the rgb latent, with cross-frame snippet attention active.
+
+The step is a pure function usable under ``jax.jit`` with dp+tp shardings
+(parallel/sharding.py): batch over ``dp``, attention projections over ``tp``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .models.unet import UNetConfig, unet_apply
+from .schedulers.ddim import DDIMScheduler
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 3e-5
+    weight_decay: float = 1e-2
+    b1: float = 0.9
+    b2: float = 0.999
+    grad_clip: float = 1.0
+    prediction_type: str = "epsilon"  # epsilon | v_prediction
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay),
+    )
+
+
+def init_train_state(params: Params, cfg: TrainConfig) -> TrainState:
+    opt = make_optimizer(cfg)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(unet_cfg: UNetConfig, scheduler: DDIMScheduler, cfg: TrainConfig):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch: {"rgb_latent": [B, n, h, w, 4], "depth_latent": [B, n, h, w, 4],
+            "text_embed": [1, L, D]}
+    """
+    opt = make_optimizer(cfg)
+    num_train_timesteps = scheduler.config.num_train_timesteps
+
+    def loss_fn(params, batch, rng):
+        rgb_lat = batch["rgb_latent"]
+        depth_lat = batch["depth_latent"]
+        b = rgb_lat.shape[0]
+        k_t, k_noise = jax.random.split(rng)
+        t = jax.random.randint(k_t, (b,), 0, num_train_timesteps)
+        noise = jax.random.normal(k_noise, depth_lat.shape, dtype=jnp.float32)
+        noisy = scheduler.add_noise(
+            depth_lat.astype(jnp.float32), noise, t[:, None].repeat(depth_lat.shape[1], 1)
+        ).astype(rgb_lat.dtype)
+        x = jnp.concatenate([rgb_lat, noisy], axis=-1)
+        pred = unet_apply(params, unet_cfg, x, t, batch["text_embed"])
+        if cfg.prediction_type == "epsilon":
+            target = noise
+        elif cfg.prediction_type == "v_prediction":
+            target = scheduler.get_velocity(
+                depth_lat.astype(jnp.float32), noise, t[:, None].repeat(depth_lat.shape[1], 1)
+            )
+        else:
+            raise ValueError(cfg.prediction_type)
+        return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return train_step

@@ -1,0 +1,93 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rollingdepth_tpu.parallel.mesh import best_mesh_shape, make_mesh
+from rollingdepth_tpu.parallel.sharding import data_sharding, unet_param_sharding
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.shape["dp"] * mesh.shape["tp"] == 8
+    assert best_mesh_shape(8) == (2, 4)
+    assert best_mesh_shape(4) == (2, 2)
+    assert best_mesh_shape(1) == (1, 1)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)  # asserts internally
+
+
+def test_sharded_training_step_matches_single_device():
+    """dp+tp sharded loss must equal the unsharded loss (same math)."""
+    from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
+    from rollingdepth_tpu.schedulers.ddim import DDIMConfig, DDIMScheduler
+    from rollingdepth_tpu.training import TrainConfig, init_train_state, make_train_step
+
+    cfg = UNetConfig(
+        sample_size=8, in_channels=8, out_channels=4,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(16, 32), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=4, norm_num_groups=4,
+    )
+    unet = UNet2DCondition(cfg)
+    params = unet.init(jax.random.PRNGKey(0))
+    scheduler = DDIMScheduler(DDIMConfig(beta_schedule="scaled_linear"))
+    tcfg = TrainConfig()
+    step = make_train_step(cfg, scheduler, tcfg)
+
+    b, n, h, w = 4, 2, 8, 8
+    batch = {
+        "rgb_latent": jax.random.normal(jax.random.PRNGKey(1), (b, n, h, w, 4)),
+        "depth_latent": jax.random.normal(jax.random.PRNGKey(2), (b, n, h, w, 4)),
+        "text_embed": jax.random.normal(jax.random.PRNGKey(3), (1, 2, 16)),
+    }
+    rng = jax.random.PRNGKey(4)
+
+    # single device
+    state = init_train_state(params, tcfg)
+    _, metrics_single = jax.jit(step)(state, batch, rng)
+
+    # sharded
+    mesh = make_mesh(shape=(2, 4))
+    shardings = unet_param_sharding(params, mesh)
+    params_sh = jax.tree.map(jax.device_put, params, shardings)
+    state_sh = init_train_state(params_sh, tcfg)
+    batch_sh = {
+        k: jax.device_put(v, data_sharding(mesh) if k != "text_embed" else None)
+        for k, v in batch.items()
+    }
+    with mesh:
+        _, metrics_sh = jax.jit(step)(state_sh, batch_sh, rng)
+
+    np.testing.assert_allclose(
+        float(metrics_sh["loss"]), float(metrics_single["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics_sh["grad_norm"]), float(metrics_single["grad_norm"]), rtol=1e-4
+    )
+
+
+def test_param_sharding_specs():
+    from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig.tiny()
+    params = UNet2DCondition(cfg).init(jax.random.PRNGKey(0))
+    mesh = make_mesh(shape=(4, 2))
+    specs = unet_param_sharding(params, mesh)
+    # at least one column-parallel and one row-parallel spec present
+    flat = jax.tree.leaves_with_path(specs)
+    col = [s for p, s in flat if "to_q" in str(p) and "kernel" in str(p)]
+    row = [s for p, s in flat if "to_out" in str(p) and "kernel" in str(p)]
+    assert col and col[0].spec == jax.sharding.PartitionSpec(None, "tp")
+    assert row and row[0].spec == jax.sharding.PartitionSpec("tp", None)

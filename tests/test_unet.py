@@ -110,3 +110,23 @@ def test_unet_12ch_conv_in(torch_oracle):
     out = ours.apply(params, x_j, jnp.asarray([500]), jnp.asarray(ctx), use_flash=False)
     out = np.asarray(out).reshape(2, 8, 8, 4).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_unet_odd_spatial_dims(torch_oracle):
+    """Odd latent sizes exercise the upsample-to-skip-size path
+    (unet_2d_condition.py forward_upsample_size)."""
+    import torch
+
+    tunet, ours, params = _make_pair()
+    rng = np.random.RandomState(3)
+    x = rng.randn(3, 8, 9, 13).astype(np.float32)
+    ctx = rng.randn(1, 2, 8).astype(np.float32)
+    with torch.no_grad():
+        ref = tunet(
+            torch.from_numpy(x), torch.tensor([100] * 3),
+            encoder_hidden_states=torch.from_numpy(ctx), num_view=3,
+        ).sample.numpy()
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 1)).reshape(1, 3, 9, 13, 8)
+    out = ours.apply(params, x_j, jnp.asarray([100]), jnp.asarray(ctx), use_flash=False)
+    out = np.asarray(out).reshape(3, 9, 13, 4).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
