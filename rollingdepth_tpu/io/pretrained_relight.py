@@ -1,0 +1,118 @@
+"""Relight pipeline assembly from checkpoints.
+
+Reference behavior: the relight pipeline loads RealisticVision SD1.5
+components + RMBG-1.4 at module import (rollingimg_pipeline.py:84-89),
+re-loads them per call (:504-508), then at inference start performs conv_in
+4->12ch surgery (:1068-1074) and the IC-Light fbc additive offset merge
+(:1077-1087).  Here both weight transforms happen once at conversion time.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+
+import dataclasses as _dc
+
+from ..models.clip_text import CLIPTextConfig, CLIPTextModel
+from ..models.rmbg import BriaRMBG
+from ..models.unet import UNet2DCondition, UNetConfig
+from ..schedulers.dpmsolver import DPMSolverConfig, DPMSolverMultistepScheduler
+from .pretrained import DTYPE_MAP, load_text_encoder, load_vae
+from .tokenizer import CLIPTokenizer
+from .weights import (
+    expand_conv_in,
+    load_config,
+    load_module_state_dict,
+    load_safetensors,
+    merge_offset,
+    state_dict_to_pytree,
+)
+
+logger = logging.getLogger(__name__)
+
+# scheduler kwargs the reference registers (rollingimg_pipeline.py:156-163)
+RELIGHT_SCHEDULER_CONFIG = DPMSolverConfig(
+    num_train_timesteps=1000,
+    beta_start=0.00085,
+    beta_end=0.012,
+    beta_schedule="linear",  # diffusers default, not overridden by the reference
+    algorithm_type="sde-dpmsolver++",
+    use_karras_sigmas=True,
+    steps_offset=1,
+)
+
+
+def load_relight_unet(
+    checkpoint_dir: str,
+    iclight_offset_path: Optional[str] = None,
+    dtype=jnp.float32,
+):
+    """SD1.5 UNet with 12-ch conv_in surgery + IC-Light fbc offset merge.
+
+    Returns (merged_12ch_model, merged_params, base_model, base_params);
+    the base 4-ch UNet serves the t2i init-latent generator (replacing the
+    reference's StableDiffusionPipeline t2i_pipe, rollingimg :165-175).
+    """
+    cfg_dict = load_config(checkpoint_dir, "unet")
+    sd = load_module_state_dict(checkpoint_dir, "unet")
+
+    base_cfg = UNetConfig.from_dict(cfg_dict)
+    base_model = UNet2DCondition(base_cfg)
+    base_params = state_dict_to_pytree(sd, dtype=dtype)
+
+    sd12 = expand_conv_in(sd, 12)
+    if iclight_offset_path and os.path.exists(iclight_offset_path):
+        offset = load_safetensors(iclight_offset_path)
+        sd12 = merge_offset(sd12, offset)
+    elif iclight_offset_path:
+        logger.warning("IC-Light offset %s not found; using unmerged weights", iclight_offset_path)
+
+    merged_cfg = _dc.replace(base_cfg, in_channels=12)
+    merged_model = UNet2DCondition(merged_cfg)
+    merged_params = state_dict_to_pytree(sd12, dtype=dtype)
+    return merged_model, merged_params, base_model, base_params
+
+
+def load_rmbg(model_dir: str, dtype=jnp.float32):
+    model = BriaRMBG()
+    sd = load_module_state_dict(model_dir)
+    return model, state_dict_to_pytree(sd, dtype=dtype)
+
+
+def load_relight_pipeline(
+    checkpoint_dir: str,
+    iclight_offset_path: Optional[str] = None,
+    rmbg_dir: Optional[str] = None,
+    dtype="fp16",
+    snippet_batch: int = 4,
+):
+    from ..pipelines.rollingimg import RollingImgPipeline
+
+    jdtype = DTYPE_MAP[str(dtype)] if isinstance(dtype, str) else dtype
+    if iclight_offset_path is None:
+        cand = os.path.join(checkpoint_dir, "iclight_sd15_fbc.safetensors")
+        iclight_offset_path = cand if os.path.exists(cand) else None
+
+    unet, unet_params, base_unet, base_params = load_relight_unet(
+        checkpoint_dir, iclight_offset_path, jdtype
+    )
+    vae, vae_params = load_vae(checkpoint_dir, jdtype)
+    text_model, text_params = load_text_encoder(checkpoint_dir)
+    tokenizer = CLIPTokenizer.from_pretrained(checkpoint_dir)
+    scheduler = DPMSolverMultistepScheduler(RELIGHT_SCHEDULER_CONFIG)
+
+    rmbg = rmbg_params = None
+    if rmbg_dir and os.path.isdir(rmbg_dir):
+        rmbg, rmbg_params = load_rmbg(rmbg_dir, jnp.float32)
+
+    return RollingImgPipeline(
+        unet, unet_params, vae, vae_params, scheduler, tokenizer,
+        lambda ids: text_model.apply(text_params, ids),
+        base_unet_params=base_params, base_unet=base_unet,
+        rmbg=rmbg, rmbg_params=rmbg_params,
+        dtype=jdtype, snippet_batch=snippet_batch,
+    )

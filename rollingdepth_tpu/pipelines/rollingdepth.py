@@ -345,7 +345,7 @@ class RollingDepthPipeline:
         idx = jnp.asarray(_pad_rows(index_matrix, s_pad))
         timesteps = jnp.asarray(self.scheduler.timesteps(infer_steps))
 
-        key = ("infer", rgb_latent.shape[1:], n, sb, infer_steps)
+        key = ("infer", rgb_latent.shape[1:], n, sb, infer_steps, vae_bs)
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
@@ -373,9 +373,18 @@ class RollingDepthPipeline:
 
                     depth_lat, _ = jax.lax.scan(body, noise, ts)
                     # decode each frame; channel-mean -> depth (reference :737)
+                    # chunked by vae_bs to bound decoder activation memory
                     flat = depth_lat.reshape((-1,) + depth_lat.shape[2:])
-                    img = vae.decode(vae_params, flat)  # [(sb n), H, W, 3]
-                    return img.mean(axis=-1).reshape(depth_lat.shape[:2] + img.shape[1:3])
+                    dec_bs = min(vae_bs, flat.shape[0])
+                    pad = (-flat.shape[0]) % dec_bs
+                    if pad:
+                        flat = jnp.concatenate([flat, flat[-1:].repeat(pad, axis=0)], axis=0)
+                    dchunks = flat.reshape((-1, dec_bs) + flat.shape[1:])
+                    img = jax.lax.map(
+                        lambda c: vae.decode(vae_params, c).mean(axis=-1), dchunks
+                    )
+                    img = img.reshape((-1,) + img.shape[2:])[: sb * n]
+                    return img.reshape(depth_lat.shape[:2] + img.shape[1:3])
 
                 out = jax.lax.map(denoise_chunk, chunks)  # [chunks, sb, n, H, W]
                 return out.reshape((-1,) + out.shape[2:])

@@ -1,0 +1,137 @@
+"""Relight (RollingImg) pipeline tests on tiny models."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rollingdepth_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
+from rollingdepth_tpu.models.vae import AutoencoderKL, VAEConfig
+from rollingdepth_tpu.pipelines.rollingimg import (
+    RollingImgPipeline,
+    encode_prompt_pair,
+    resize_frames,
+)
+from rollingdepth_tpu.schedulers.dpmsolver import DPMSolverConfig, DPMSolverMultistepScheduler
+
+
+class FakeTokenizer:
+    model_max_length = 7
+    bos_token_id = 0
+    eos_token_id = 1
+
+    def tokenize_ids(self, text):
+        return [2 + (ord(c) % 5) for c in text.replace(" ", "")][:20]
+
+
+@pytest.fixture(scope="module")
+def tiny_relight():
+    import dataclasses
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    # cross_attention_dim must match the text model hidden size (16)
+    cfg12 = dataclasses.replace(UNetConfig.tiny(in_channels=12), cross_attention_dim=16)
+    cfg4 = dataclasses.replace(UNetConfig.tiny(in_channels=4), cross_attention_dim=16)
+    unet12 = UNet2DCondition(cfg12)
+    unet4 = UNet2DCondition(cfg4)
+    vae = AutoencoderKL(VAEConfig.tiny())
+    text_model = CLIPTextModel(CLIPTextConfig.tiny())
+    text_params = text_model.init(ks[3])
+    sched = DPMSolverMultistepScheduler(DPMSolverConfig(
+        beta_start=0.00085, beta_end=0.012, algorithm_type="sde-dpmsolver++",
+        use_karras_sigmas=True, steps_offset=1,
+    ))
+    return RollingImgPipeline(
+        unet12, unet12.init(ks[0]), vae, vae.init(ks[1]), sched,
+        FakeTokenizer(), lambda ids: text_model.apply(text_params, ids),
+        base_unet_params=unet4.init(ks[2]), base_unet=unet4,
+        dtype=jnp.float32, snippet_batch=2,
+    )
+
+
+def _frames(n=6, h=32, w=32, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(n, 3, h, w).astype(np.float32) * 2 - 1
+
+
+def test_prompt_pair_shapes(tiny_relight):
+    c, uc = encode_prompt_pair(
+        tiny_relight.tokenizer, tiny_relight.text_apply,
+        "a long prompt with many words to force chunking", "short",
+    )
+    assert c.shape[0] == 1 and uc.shape[0] == 1
+    assert c.shape[1] == uc.shape[1]  # balanced chunk counts
+    assert c.shape[1] % 7 == 0  # whole chunks of model_max_length
+
+
+def test_relight_forward_shared_noise(tiny_relight):
+    out = tiny_relight.forward(
+        _frames(), _frames(seed=1), dilations=[1, 2],
+        init_mode="shared_noise", seed=12345,
+    )
+    assert out.R_pred.shape == (6, 1, 32, 32)
+    assert out.G_pred.shape == (6, 1, 32, 32)
+    assert out.B_pred.shape == (6, 1, 32, 32)
+    assert len(out.snippet_ls) == 2
+    assert out.snippet_ls[0].shape == (4, 3, 3, 32, 32)  # [S, n, RGB, H, W]
+    assert out.aligned_snippet_pred_ls[0].shape == (1, 6, 3, 32, 32)
+    for p in (out.R_pred, out.G_pred, out.B_pred):
+        assert np.isfinite(p).all()
+        assert p.min() >= -0.001 and p.max() <= 1.001  # [0, 1] range
+
+
+def test_relight_forward_t2i_init(tiny_relight):
+    out = tiny_relight.forward(
+        _frames(), _frames(seed=1), dilations=[1], init_mode="t2i", seed=7,
+    )
+    assert out.R_pred.shape == (6, 1, 32, 32)
+    assert np.isfinite(out.R_pred).all()
+
+
+def test_relight_deterministic(tiny_relight):
+    a = tiny_relight.forward(_frames(), _frames(seed=1), dilations=[1],
+                             init_mode="shared_noise", seed=5)
+    b = tiny_relight.forward(_frames(), _frames(seed=1), dilations=[1],
+                             init_mode="shared_noise", seed=5)
+    np.testing.assert_array_equal(a.R_pred, b.R_pred)
+
+
+def test_resize_frames():
+    f = _frames(n=2, h=20, w=30)
+    out = resize_frames(f, 16, 12)
+    assert out.shape == (2, 3, 12, 16)
+
+
+def test_iclight_weight_transforms(torch_oracle, tmp_path):
+    """conv_in expansion + offset merge produce a loadable 12-ch UNet."""
+    import torch
+    from diffusers import UNet2DConditionModel as TorchUNet
+
+    torch.manual_seed(0)
+    tunet = TorchUNet(
+        sample_size=8, in_channels=4, out_channels=4,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(8, 16), layers_per_block=1,
+        cross_attention_dim=8, attention_head_dim=2, norm_num_groups=4,
+    )
+    tunet.save_pretrained(tmp_path / "unet")
+
+    # offset: +1 on conv_in weight (12ch shape), zeros elsewhere
+    from rollingdepth_tpu.io.weights import expand_conv_in, merge_offset, load_module_state_dict
+
+    sd = load_module_state_dict(str(tmp_path), "unet")
+    sd12 = expand_conv_in(sd, 12)
+    assert sd12["conv_in.weight"].shape == (8, 12, 3, 3)
+    np.testing.assert_array_equal(sd12["conv_in.weight"][:, 4:], 0.0)
+    np.testing.assert_array_equal(sd12["conv_in.weight"][:, :4], sd["conv_in.weight"])
+
+    offset = {"conv_in.weight": np.ones_like(sd12["conv_in.weight"])}
+    merged = merge_offset(sd12, offset)
+    np.testing.assert_allclose(
+        merged["conv_in.weight"], sd12["conv_in.weight"] + 1.0
+    )
