@@ -1,0 +1,63 @@
+"""Eval harness tests: manifest parsing against the real bundled data_split
+CSVs, metric math, and alignment."""
+
+import numpy as np
+import pytest
+
+from rollingdepth_tpu.eval import (
+    align_least_squares,
+    depth_metrics,
+    evaluate_sequence,
+    list_manifests,
+    load_manifest,
+)
+
+SPLIT_DIR = "/root/reference/data_split"
+
+
+def test_manifest_parsing_real_splits():
+    manifests = list_manifests(f"{SPLIT_DIR}/scannet")
+    assert len(manifests) >= 90  # 99 scenes
+    sample = load_manifest(manifests[0], "/data/scannet")
+    assert len(sample.rgb_paths) == len(sample.depth_paths) == 90
+    assert sample.rgb_paths[0].startswith("/data/scannet/")
+
+    bonn = list_manifests(f"{SPLIT_DIR}/bonn_rgbd")
+    assert len(bonn) == 5
+    s = load_manifest(bonn[0], "/x")
+    assert len(s.rgb_paths) == 110
+
+
+def test_alignment_recovers_affine():
+    rng = np.random.RandomState(0)
+    gt = rng.rand(4, 16, 16).astype(np.float32) + 0.5
+    pred = (gt - 0.3) / 2.5  # gt = 2.5*pred + 0.3
+    mask = np.ones_like(gt, bool)
+    s, t = align_least_squares(pred, gt, mask)
+    np.testing.assert_allclose([s, t], [2.5, 0.3], rtol=1e-4, atol=1e-5)
+
+
+def test_metrics_perfect_prediction():
+    gt = np.random.RandomState(0).rand(8, 8).astype(np.float32) + 0.5
+    m = depth_metrics(gt, gt, np.ones_like(gt, bool))
+    assert m["abs_rel"] == 0.0
+    assert m["delta1"] == 1.0
+    assert m["rmse"] == 0.0
+
+
+def test_evaluate_sequence_affine_invariance():
+    rng = np.random.RandomState(1)
+    gt = [rng.rand(16, 16).astype(np.float32) + 0.5 for _ in range(5)]
+    pred = np.stack([(g * 3.0 - 0.2) for g in gt])  # affine transform of gt
+    m = evaluate_sequence(pred, gt)
+    assert m["abs_rel"] < 1e-4
+    assert m["delta1"] > 0.999
+
+
+def test_evaluate_sequence_resizes_pred():
+    # smooth gt so a half-res prediction upsamples accurately
+    yy, xx = np.mgrid[0:32, 0:24].astype(np.float32)
+    gt = [(1.0 + 0.02 * (yy + xx) + 0.1 * i) for i in range(3)]
+    pred = np.stack([g[::2, ::2] for g in gt])  # half-res prediction
+    m = evaluate_sequence(pred, gt)
+    assert m["abs_rel"] < 0.05
