@@ -59,7 +59,7 @@ def main():
     text = jnp.zeros((1, 2, 1024), jnp.bfloat16)
     pipe = RollingDepthPipeline(
         unet, unet_params, vae, vae_params, scheduler, text,
-        dtype=jnp.bfloat16, snippet_batch=8,
+        dtype=jnp.bfloat16, snippet_batch=16, vae_batch=16,
     )
     print(f"[bench] setup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
@@ -70,13 +70,13 @@ def main():
 
     # warmup (compiles all shape buckets)
     t0 = time.perf_counter()
-    out = pipe.forward(frames, **kwargs)
+    out = pipe.forward(frames, max_vae_bs=16, **kwargs)
     assert np.isfinite(out.depth_pred).all()
     print(f"[bench] warmup (incl. compile) {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # timed
     t0 = time.perf_counter()
-    out = pipe.forward(frames, **kwargs)
+    out = pipe.forward(frames, max_vae_bs=16, **kwargs)
     elapsed = time.perf_counter() - t0
     assert np.isfinite(out.depth_pred).all()
     fps = n_frames / elapsed

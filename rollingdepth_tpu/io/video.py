@@ -51,9 +51,23 @@ def load_video_frames(
     resample_method: str = "BILINEAR",  # accepted for API parity
     verbose: bool = False,
 ) -> Tuple[np.ndarray, Tuple[int, int]]:
-    """Decode frames -> float32 [N, 3, H, W] in [-1, 1] + original (H, W)."""
+    """Decode frames -> float32 [N, 3, H, W] in [-1, 1] + original (H, W).
+
+    Prefers the native C++ decoder (multithreaded libavcodec, fused
+    resize+normalize — native/rolling_video.cc); falls back to OpenCV."""
     assert start_frame >= 0
     path = str(input_path)
+    if os.path.splitext(path)[1].lower() in VIDEO_EXTENSIONS:
+        from . import native_video
+
+        if native_video.available():
+            try:
+                frames, orig, _fps = native_video.decode_video(
+                    path, start_frame, frame_count, processing_res
+                )
+                return frames, orig
+            except RuntimeError as e:
+                logger.warning("native decode failed (%s); falling back to OpenCV", e)
     if os.path.splitext(path)[1].lower() in (".png", ".jpg", ".jpeg", ".bmp"):
         img = cv2.imread(path, cv2.IMREAD_COLOR)[:, :, ::-1]
         frames_iter = [img]
@@ -108,6 +122,14 @@ def write_video_from_numpy(
         raise ValueError(f"Expected shape [n, height, width, 3], got {frames.shape}")
     if frames.dtype != np.uint8:
         raise ValueError(f"Expected dtype uint8, got {frames.dtype}")
+    from . import native_video
+
+    if native_video.available():
+        try:
+            native_video.encode_video(frames, output_path, fps=fps, codec=codec or "")
+            return
+        except RuntimeError as e:
+            logger.warning("native encode failed (%s); falling back to OpenCV", e)
     n, h, w, _ = frames.shape
     codecs = [codec] if codec else ["avc1", "mp4v", "MJPG", "XVID"]
     writer = None
@@ -129,6 +151,15 @@ def write_video_from_numpy(
 
 
 def get_video_fps(video_path) -> float:
+    from . import native_video
+
+    if native_video.available():
+        try:
+            fps = native_video.probe_fps(video_path)
+            if fps > 0:
+                return fps
+        except RuntimeError:
+            pass
     cap = cv2.VideoCapture(str(video_path))
     fps = cap.get(cv2.CAP_PROP_FPS)
     cap.release()
