@@ -77,6 +77,7 @@ class RollingDepthPipeline:
         dtype=jnp.bfloat16,
         snippet_batch: int = 8,
         vae_batch: int = 4,
+        mesh=None,
     ):
         self.unet = unet
         self.vae = vae
@@ -84,6 +85,10 @@ class RollingDepthPipeline:
         self.dtype = dtype
         self.snippet_batch = snippet_batch
         self.vae_batch = vae_batch
+        # optional jax.sharding.Mesh with a "dp" axis: snippets within a
+        # dilation pass are embarrassingly parallel (SURVEY.md §2.3) and are
+        # sharded over dp with zero cross-chip attention traffic
+        self.mesh = mesh
 
         cast = lambda tree: jax.tree.map(lambda x: x.astype(dtype), tree)
         self.unet_params = cast(unet_params)
@@ -338,19 +343,23 @@ class RollingDepthPipeline:
 
         Replaces the per-snippet loop at reference :406-454 with one device
         program; every snippet's denoise starts from the SAME init noise
-        (reference :417-418 clones from the shared init)."""
+        (reference :417-418 clones from the shared init).  With a mesh, the
+        snippet-chunk axis is sharded over ``dp`` via shard_map — chips work
+        on disjoint snippets with no communication."""
         s, n = index_matrix.shape
+        dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         sb = min(self.snippet_batch, s)
-        s_pad = s + ((-s) % sb)
+        s_pad = s + ((-s) % (sb * dp))
         idx = jnp.asarray(_pad_rows(index_matrix, s_pad))
         timesteps = jnp.asarray(self.scheduler.timesteps(infer_steps))
 
-        key = ("infer", rgb_latent.shape[1:], n, sb, infer_steps, vae_bs)
+        key = ("infer", rgb_latent.shape[1:], n, sb, infer_steps, vae_bs, s_pad)
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
             vae = self.vae
             dtype = self.dtype
+            mesh = self.mesh
 
             @jax.jit
             def fn(unet_params, vae_params, text, rgb_latent, idx, noise_single, ts):
@@ -386,7 +395,18 @@ class RollingDepthPipeline:
                     img = img.reshape((-1,) + img.shape[2:])[: sb * n]
                     return img.reshape(depth_lat.shape[:2] + img.shape[1:3])
 
-                out = jax.lax.map(denoise_chunk, chunks)  # [chunks, sb, n, H, W]
+                if mesh is None:
+                    out = jax.lax.map(denoise_chunk, chunks)  # [chunks, sb, n, H, W]
+                else:
+                    from jax.sharding import PartitionSpec as P
+
+                    out = jax.shard_map(
+                        lambda local: jax.lax.map(denoise_chunk, local),
+                        mesh=mesh,
+                        in_specs=P("dp"),
+                        out_specs=P("dp"),
+                        check_vma=False,
+                    )(chunks)
                 return out.reshape((-1,) + out.shape[2:])
 
             self._jit_cache[key] = fn
