@@ -1,0 +1,87 @@
+"""Converted-checkpoint caching: torch->pytree conversion runs once, then
+params load from a flat .npz (orders of magnitude faster than re-translating
+the torch state dict, and it skips torch entirely on reload).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+Params = Dict[str, Any]
+_SEP = "//"
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}#{i}{_SEP}"))
+    else:
+        out[prefix[: -len(_SEP)]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Params:
+    root: Dict[Any, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(_SEP)
+        node = root
+        for part in parts[:-1]:
+            k = int(part[1:]) if part.startswith("#") else part
+            node = node.setdefault(k, {})
+        last = parts[-1]
+        node[int(last[1:]) if last.startswith("#") else last] = value
+
+    def listify(n):
+        if isinstance(n, dict):
+            if n and all(isinstance(k, int) for k in n):
+                return [listify(n[i]) for i in sorted(n)]
+            return {k: listify(v) for k, v in n.items()}
+        return n
+
+    return listify(root)
+
+
+def save_params(params: Params, path: str) -> None:
+    flat = _flatten(params)
+    # bf16 is not npz-native; store raw bits + dtype tag
+    arrays, meta = {}, {}
+    for k, v in flat.items():
+        if v.dtype == jnp.bfloat16:
+            arrays[k] = v.view(np.uint16)
+            meta[k] = "bfloat16"
+        else:
+            arrays[k] = v
+            meta[k] = str(v.dtype)
+    arrays["__meta_keys__"] = np.array(list(meta.keys()))
+    arrays["__meta_vals__"] = np.array(list(meta.values()))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_params(path: str, dtype=None) -> Params:
+    with np.load(path, allow_pickle=False) as data:
+        meta = dict(zip(data["__meta_keys__"].tolist(), data["__meta_vals__"].tolist()))
+        flat = {}
+        for k, tag in meta.items():
+            arr = data[k]
+            if tag == "bfloat16":
+                arr = arr.view(jnp.bfloat16)
+            flat[k] = jnp.asarray(arr, dtype=dtype) if dtype is not None else jnp.asarray(arr)
+    return _unflatten(flat)
+
+
+def cache_path(checkpoint_dir: str, subfolder: str, dtype) -> str:
+    tag = hashlib.sha1(f"{os.path.abspath(checkpoint_dir)}:{subfolder}:{dtype}".encode()).hexdigest()[:12]
+    return os.path.join(checkpoint_dir, ".jax_cache", f"{subfolder}_{tag}.npz")

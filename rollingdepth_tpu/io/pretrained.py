@@ -49,19 +49,41 @@ def load_text_encoder(checkpoint_dir: str, dtype=jnp.float32):
     return model, params
 
 
+def _cached_convert(checkpoint_dir: str, subfolder: str, dtype, convert_fn):
+    """Run the torch->pytree conversion once; reload from .npz afterwards."""
+    from .cache import cache_path, load_params, save_params
+
+    path = cache_path(checkpoint_dir, subfolder, jnp.dtype(dtype).name)
+    if os.path.exists(path):
+        try:
+            return load_params(path)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("stale param cache %s (%s); reconverting", path, e)
+    params = convert_fn()
+    try:
+        save_params(params, path)
+    except OSError as e:
+        logger.debug("cannot write param cache: %s", e)
+    return params
+
+
 def load_unet(checkpoint_dir: str, dtype=jnp.float32, subfolder: str = "unet"):
     cfg = UNetConfig.from_dict(load_config(checkpoint_dir, subfolder))
     model = UNet2DCondition(cfg)
-    sd = load_module_state_dict(checkpoint_dir, subfolder)
-    params = state_dict_to_pytree(sd, dtype=dtype)
+    params = _cached_convert(
+        checkpoint_dir, subfolder, dtype,
+        lambda: state_dict_to_pytree(load_module_state_dict(checkpoint_dir, subfolder), dtype=dtype),
+    )
     return model, params
 
 
 def load_vae(checkpoint_dir: str, dtype=jnp.float32, subfolder: str = "vae"):
     cfg = VAEConfig.from_dict(load_config(checkpoint_dir, subfolder))
     model = AutoencoderKL(cfg)
-    sd = load_module_state_dict(checkpoint_dir, subfolder)
-    params = state_dict_to_pytree(sd, dtype=dtype)
+    params = _cached_convert(
+        checkpoint_dir, subfolder, dtype,
+        lambda: state_dict_to_pytree(load_module_state_dict(checkpoint_dir, subfolder), dtype=dtype),
+    )
     return model, params
 
 

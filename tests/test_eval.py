@@ -61,3 +61,38 @@ def test_evaluate_sequence_resizes_pred():
     pred = np.stack([g[::2, ::2] for g in gt])  # half-res prediction
     m = evaluate_sequence(pred, gt)
     assert m["abs_rel"] < 0.05
+
+
+def test_param_cache_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+    from rollingdepth_tpu.io.cache import load_params, save_params
+
+    tree = {
+        "a": {"kernel": np.random.rand(3, 4).astype(np.float32)},
+        "blocks": [
+            {"scale": jnp.asarray(np.random.rand(5), jnp.bfloat16)},
+            {"scale": jnp.asarray(np.random.rand(5), jnp.bfloat16)},
+        ],
+    }
+    path = str(tmp_path / "params.npz")
+    save_params(tree, path)
+    loaded = load_params(path)
+    np.testing.assert_array_equal(np.asarray(loaded["a"]["kernel"]), tree["a"]["kernel"])
+    assert loaded["blocks"][1]["scale"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(loaded["blocks"][1]["scale"].astype(jnp.float32)),
+        np.asarray(tree["blocks"][1]["scale"].astype(jnp.float32)),
+    )
+
+
+def test_phase_timer():
+    from rollingdepth_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert "a" in t.timings and t.timings["a"] >= 0
+    assert "total=" in t.summary()
