@@ -63,6 +63,15 @@ def _pad_rows(x: np.ndarray, target: int) -> np.ndarray:
     return np.concatenate([x, reps], axis=0)
 
 
+def _fetch_f32(x: jnp.ndarray) -> np.ndarray:
+    """Device -> host as fp16 bits, widened to f32 on host.
+
+    Depth values live in [-1, 1]; fp16 keeps ~3 decimal digits there while
+    halving the device->host transfer (the dominant cost on narrow
+    interconnects)."""
+    return np.asarray(x.astype(jnp.float16)).astype(np.float32)
+
+
 class RollingDepthPipeline:
     """Inference pipeline: UNet (snippet-native) + VAE + DDIM + aligner."""
 
@@ -221,7 +230,13 @@ class RollingDepthPipeline:
         t0 = time.perf_counter()
 
         # ---- VAE encode all frames (reference :265-267)
-        frames_nhwc = jnp.asarray(input_frames.transpose(0, 2, 3, 1), dtype=self.dtype)
+        # upload in compute dtype (half the host->device traffic vs f32)
+        import ml_dtypes
+
+        host_dtype = np.dtype(ml_dtypes.bfloat16) if self.dtype == jnp.bfloat16 else np.float32
+        frames_nhwc = jnp.asarray(
+            np.ascontiguousarray(input_frames.transpose(0, 2, 3, 1)).astype(host_dtype)
+        )
         rgb_latent = self._encode_frames(frames_nhwc, max_vae_bs)  # [N, h, w, 4]
         timings["encode"] = time.perf_counter() - t0
 
@@ -231,12 +246,15 @@ class RollingDepthPipeline:
         init_noise_single = jax.random.normal(key, (h, w, 4), dtype=jnp.float32).astype(self.dtype)
 
         # ---- per-dilation snippet inference (reference :356-463)
+        # decoded snippets stay ON DEVICE (the reference's default
+        # unload_snippet=False keeps them in VRAM, :456-458); moving them to
+        # host is opt-in, exactly as upstream
         t0 = time.perf_counter()
-        snippet_ls: List[np.ndarray] = []
+        snippet_ls: List[jnp.ndarray] = []
         for dilation, snip_len, infer_steps in zip(dilations, snippet_lengths, init_infer_steps):
             idx = snippet_index_matrix(seq_len, snip_len, dilation)
             decoded = self._infer_snippets(rgb_latent, init_noise_single, idx, infer_steps, max_vae_bs)
-            snippet_ls.append(np.asarray(decoded, dtype=np.float32))
+            snippet_ls.append(np.asarray(decoded, dtype=np.float32) if unload_snippet else decoded)
         timings["snippet_infer"] = time.perf_counter() - t0
 
         # ---- co-alignment (reference :304-318)
@@ -265,10 +283,10 @@ class RollingDepthPipeline:
                 start_dilation=refine_start_dilation,
             )
             depth_pred = self._decode_depth(depth_latent, max_vae_bs)  # [N, H, W]
-            depth_pred = np.asarray(depth_pred, dtype=np.float32)[:, None]
+            depth_pred = _fetch_f32(depth_pred)[:, None]
             timings["refine"] = time.perf_counter() - t0
         else:
-            depth_pred = np.asarray(depth_coaligned, dtype=np.float32)
+            depth_pred = _fetch_f32(depth_coaligned)
 
         if verbose:
             logger.info("phase timings: %s", {k: f"{v:.2f}s" for k, v in timings.items()})
@@ -278,7 +296,11 @@ class RollingDepthPipeline:
             input_rgb=np.asarray(input_frames, dtype=np.float32) / 2.0 + 0.5,
             depth_pred=np.asarray(depth_pred, dtype=np.float32),
             snippet_ls=snippet_ls,
-            depth_coaligned=np.asarray(depth_coaligned, dtype=np.float32),
+            depth_coaligned=(
+                _fetch_f32(depth_coaligned)
+                if isinstance(depth_coaligned, jnp.ndarray)
+                else np.asarray(depth_coaligned, dtype=np.float32)
+            ),
         )
 
     # ------------------------------------------------------------------
