@@ -37,6 +37,26 @@ def _xla_attention(
     return out
 
 
+def _chunked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 2048,
+) -> jnp.ndarray:
+    """Query-blocked attention: bounds the live score matrix to
+    [block_q, L_k] so long snippet sequences fit host/device memory when the
+    Pallas kernel is unavailable (non-TPU backends)."""
+    b, l_q, h, d = q.shape
+    pad = (-l_q) % block_q
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    qb = q.reshape(b, -1, block_q, h, d).transpose(1, 0, 2, 3, 4)
+    out = jax.lax.map(lambda qc: _xla_attention(qc, k, v, scale), qb)
+    out = out.transpose(1, 0, 2, 3, 4).reshape(b, -1, h, d)
+    return out[:, :l_q]
+
+
 @functools.partial(jax.named_call, name="dot_product_attention")
 def dot_product_attention(
     q: jnp.ndarray,
@@ -61,4 +81,7 @@ def dot_product_attention(
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
+    # bound memory for long sequences on the non-flash path
+    if q.shape[1] * k.shape[1] > 8_388_608 and q.shape[1] > 4096:
+        return _chunked_attention(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale=scale)

@@ -44,3 +44,16 @@ def test_flash_matches_torch_sdpa(torch_oracle):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
     out2 = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(out2), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_attention_matches_dense():
+    from rollingdepth_tpu.ops.attention import _chunked_attention
+
+    key = jax.random.PRNGKey(2)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 1000, 2, 16))
+    k = jax.random.normal(kk, (2, 700, 2, 16))
+    v = jax.random.normal(kv, (2, 700, 2, 16))
+    ref = _xla_attention(q, k, v)
+    out = _chunked_attention(q, k, v, block_q=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
