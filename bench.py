@@ -66,7 +66,7 @@ def main():
     rng = np.random.RandomState(0)
     frames = (rng.rand(n_frames, 3, h, w).astype(np.float32) * 2 - 1)
 
-    kwargs = dict(dilations=[1, 25], cap_dilation=True, refine_step=0, seed=0)
+    kwargs = dict(dilations=[1, 25], cap_dilation=True, refine_step=0, seed=0, verbose=True)
 
     # warmup (compiles all shape buckets)
     t0 = time.perf_counter()
