@@ -491,9 +491,10 @@ class RollingDepthPipeline:
             m = snippet_index_matrix(seq_len, snippet_len, gap + 1)
             idx_list.append(m)
             mask_list.append(m.shape[0])
+        dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         s_pad = max(m.shape[0] for m in idx_list)
         sb = min(self.snippet_batch, s_pad)
-        s_pad = s_pad + ((-s_pad) % sb)
+        s_pad = s_pad + ((-s_pad) % (sb * dp))
         idx_tensor = np.stack([_pad_rows(m, s_pad) for m in idx_list])  # [T, S_pad, n]
         masks = np.stack(
             [(np.arange(s_pad) < s_true).astype(np.float32) for s_true in mask_list]
@@ -505,6 +506,7 @@ class RollingDepthPipeline:
             scheduler = self.scheduler
             dtype = self.dtype
             n_steps = len(timesteps)
+            mesh = self.mesh
 
             @jax.jit
             def fn(unet_params, text, rgb_latent, depth_latent, noise_single, idx_t, mask_t, ts):
@@ -536,7 +538,18 @@ class RollingDepthPipeline:
 
                     rgb_c = rgb_s.reshape((-1, sb) + rgb_s.shape[1:])
                     dep_c = depth_s.reshape((-1, sb) + depth_s.shape[1:])
-                    preds = jax.lax.map(denoise_chunk, (rgb_c, dep_c))
+                    if mesh is None:
+                        preds = jax.lax.map(denoise_chunk, (rgb_c, dep_c))
+                    else:
+                        from jax.sharding import PartitionSpec as P
+
+                        preds = jax.shard_map(
+                            lambda local: jax.lax.map(denoise_chunk, local),
+                            mesh=mesh,
+                            in_specs=P("dp"),
+                            out_specs=P("dp"),
+                            check_vma=False,
+                        )((rgb_c, dep_c))
                     preds = preds.reshape((-1,) + preds.shape[2:])  # [S_pad, n, h, w, 4]
 
                     # mask-weighted overlap average (reference :586-629)

@@ -40,3 +40,15 @@ def test_dp_sharded_matches_single_device():
     np.testing.assert_allclose(
         out_single.depth_pred, out_sharded.depth_pred, rtol=2e-4, atol=2e-4
     )
+
+
+def test_dp_sharded_refine_matches_single_device():
+    frames = np.random.RandomState(1).rand(8, 3, 32, 32).astype(np.float32) * 2 - 1
+    kwargs = dict(dilations=[1], refine_step=2, refine_snippet_len=3,
+                  refine_start_dilation=2, seed=4)
+
+    out_single = _build(mesh=None).forward(frames, **kwargs)
+    out_sharded = _build(mesh=make_mesh(shape=(4, 2))).forward(frames, **kwargs)
+    np.testing.assert_allclose(
+        out_single.depth_pred, out_sharded.depth_pred, rtol=3e-4, atol=3e-4
+    )
