@@ -135,3 +135,20 @@ def test_iclight_weight_transforms(torch_oracle, tmp_path):
     np.testing.assert_allclose(
         merged["conv_in.weight"], sd12["conv_in.weight"] + 1.0
     )
+
+
+def test_relight_dp_sharded_matches_single(tiny_relight):
+    from rollingdepth_tpu.parallel.mesh import make_mesh
+
+    frames_fg, frames_bg = _frames(), _frames(seed=1)
+    out_single = tiny_relight.forward(frames_fg, frames_bg, dilations=[1],
+                                      init_mode="shared_noise", seed=9)
+    tiny_relight.mesh = make_mesh(shape=(4, 2))
+    tiny_relight._jit_cache.clear()
+    try:
+        out_sharded = tiny_relight.forward(frames_fg, frames_bg, dilations=[1],
+                                           init_mode="shared_noise", seed=9)
+    finally:
+        tiny_relight.mesh = None
+        tiny_relight._jit_cache.clear()
+    np.testing.assert_allclose(out_single.R_pred, out_sharded.R_pred, rtol=2e-4, atol=2e-4)
