@@ -64,7 +64,7 @@ def main():
     print(f"[bench] setup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     rng = np.random.RandomState(0)
-    frames = (rng.rand(n_frames, 3, h, w).astype(np.float32) * 2 - 1)
+    frames = (rng.rand(n_frames, 3, h, w) * 255).astype(np.uint8)
 
     kwargs = dict(dilations=[1, 25], cap_dilation=True, refine_step=0, seed=0, verbose=True)
 

@@ -30,7 +30,7 @@ extern "C" {
 namespace {
 
 struct DecodedVideo {
-  std::vector<float> frames;  // [n, 3, h, w], [-1, 1]
+  std::vector<uint8_t> frames;  // [n, h, w, 3] RGB
   int n = 0, h = 0, w = 0;
   int orig_h = 0, orig_w = 0;
   double fps = 0.0;
@@ -85,7 +85,6 @@ DecodedVideo* decode_impl(const char* path, int start_frame, int frame_count,
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   SwsContext* sws = nullptr;
-  std::vector<uint8_t> rgb;
   int out_w = 0, out_h = 0;
   int64_t index = 0;
   const int64_t end_before =
@@ -107,26 +106,13 @@ DecodedVideo* decode_impl(const char* path, int start_frame, int frame_count,
                            (AVPixelFormat)frame->format, out_w, out_h,
                            AV_PIX_FMT_RGB24, SWS_BILINEAR | SWS_ACCURATE_RND,
                            nullptr, nullptr, nullptr);
-      rgb.resize((size_t)out_w * out_h * 3);
     }
-    uint8_t* dst[1] = {rgb.data()};
+    size_t base = out->frames.size();
+    out->frames.resize(base + (size_t)out_w * out_h * 3);
+    uint8_t* dst[1] = {out->frames.data() + base};
     int dst_stride[1] = {out_w * 3};
     sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst,
               dst_stride);
-    size_t base = out->frames.size();
-    out->frames.resize(base + (size_t)out_w * out_h * 3);
-    float* dstf = out->frames.data() + base;
-    const size_t plane = (size_t)out_w * out_h;
-    // HWC uint8 -> CHW float [-1, 1]
-    for (int y = 0; y < out_h; ++y) {
-      const uint8_t* row = rgb.data() + (size_t)y * out_w * 3;
-      for (int x = 0; x < out_w; ++x) {
-        const size_t p = (size_t)y * out_w + x;
-        dstf[0 * plane + p] = row[x * 3 + 0] / 255.0f * 2.0f - 1.0f;
-        dstf[1 * plane + p] = row[x * 3 + 1] / 255.0f * 2.0f - 1.0f;
-        dstf[2 * plane + p] = row[x * 3 + 2] / 255.0f * 2.0f - 1.0f;
-      }
-    }
     out->n++;
     index++;
   };
@@ -189,8 +175,24 @@ double rv_fps(void* h) { return ((DecodedVideo*)h)->fps; }
 const char* rv_error(void* h) { return ((DecodedVideo*)h)->error.c_str(); }
 
 void rv_copy_frames(void* h, float* dst) {
+  // [n, h, w, 3] uint8 -> [n, 3, h, w] float in [-1, 1]
   auto* v = (DecodedVideo*)h;
-  std::memcpy(dst, v->frames.data(), v->frames.size() * sizeof(float));
+  const size_t plane = (size_t)v->h * v->w;
+  for (int f = 0; f < v->n; ++f) {
+    const uint8_t* src = v->frames.data() + (size_t)f * plane * 3;
+    float* d = dst + (size_t)f * plane * 3;
+    for (size_t p = 0; p < plane; ++p) {
+      d[0 * plane + p] = src[p * 3 + 0] / 255.0f * 2.0f - 1.0f;
+      d[1 * plane + p] = src[p * 3 + 1] / 255.0f * 2.0f - 1.0f;
+      d[2 * plane + p] = src[p * 3 + 2] / 255.0f * 2.0f - 1.0f;
+    }
+  }
+}
+
+void rv_copy_frames_u8(void* h, uint8_t* dst) {
+  // raw [n, h, w, 3] RGB
+  auto* v = (DecodedVideo*)h;
+  std::memcpy(dst, v->frames.data(), v->frames.size());
 }
 
 void rv_free(void* h) { delete (DecodedVideo*)h; }

@@ -69,6 +69,8 @@ def load_library():
     lib.rv_error.argtypes = [ctypes.c_void_p]
     lib.rv_copy_frames.restype = None
     lib.rv_copy_frames.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.rv_copy_frames_u8.restype = None
+    lib.rv_copy_frames_u8.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
     lib.rv_free.argtypes = [ctypes.c_void_p]
     lib.rv_probe_fps.restype = ctypes.c_double
     lib.rv_probe_fps.argtypes = [ctypes.c_char_p]
@@ -91,9 +93,14 @@ def available() -> bool:
 
 
 def decode_video(
-    path, start_frame: int = 0, frame_count: int = 0, max_edge: int = 0
+    path, start_frame: int = 0, frame_count: int = 0, max_edge: int = 0,
+    dtype: str = "float32",
 ) -> Tuple[np.ndarray, Tuple[int, int], float]:
-    """Decode -> (float32 [N, 3, H, W] in [-1, 1], original (H, W), fps)."""
+    """Decode -> (frames, original (H, W), fps).
+
+    dtype="float32": [N, 3, H, W] in [-1, 1].
+    dtype="uint8":   [N, 3, H, W] RGB bytes — 4x smaller for the
+    host->device hop; normalization then happens on-chip."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native video library unavailable")
@@ -103,8 +110,13 @@ def decode_video(
         if err:
             raise RuntimeError(f"native decode failed for {path}: {err}")
         n, hh, ww = lib.rv_num_frames(h), lib.rv_height(h), lib.rv_width(h)
-        out = np.empty((n, 3, hh, ww), np.float32)
-        lib.rv_copy_frames(h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if dtype == "uint8":
+            raw = np.empty((n, hh, ww, 3), np.uint8)
+            lib.rv_copy_frames_u8(h, raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            out = np.ascontiguousarray(raw.transpose(0, 3, 1, 2))
+        else:
+            out = np.empty((n, 3, hh, ww), np.float32)
+            lib.rv_copy_frames(h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         orig = (lib.rv_orig_height(h), lib.rv_orig_width(h))
         fps = lib.rv_fps(h)
         return out, orig, fps

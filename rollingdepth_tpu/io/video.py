@@ -50,11 +50,14 @@ def load_video_frames(
     processing_res: int = 0,
     resample_method: str = "BILINEAR",  # accepted for API parity
     verbose: bool = False,
+    dtype: str = "float32",
 ) -> Tuple[np.ndarray, Tuple[int, int]]:
-    """Decode frames -> float32 [N, 3, H, W] in [-1, 1] + original (H, W).
+    """Decode frames -> [N, 3, H, W] + original (H, W).
 
-    Prefers the native C++ decoder (multithreaded libavcodec, fused
-    resize+normalize — native/rolling_video.cc); falls back to OpenCV."""
+    dtype="float32" (reference parity): [-1, 1] floats.  dtype="uint8":
+    raw bytes — the pipelines normalize on-device, quartering the
+    host->device transfer.  Prefers the native C++ decoder (multithreaded
+    libavcodec — native/rolling_video.cc); falls back to OpenCV."""
     assert start_frame >= 0
     path = str(input_path)
     if os.path.splitext(path)[1].lower() in VIDEO_EXTENSIONS:
@@ -63,7 +66,7 @@ def load_video_frames(
         if native_video.available():
             try:
                 frames, orig, _fps = native_video.decode_video(
-                    path, start_frame, frame_count, processing_res
+                    path, start_frame, frame_count, processing_res, dtype=dtype
                 )
                 return frames, orig
             except RuntimeError as e:
@@ -90,8 +93,11 @@ def load_video_frames(
             original_res = frame.shape[:2]
         if processing_res > 0:
             frame = resize_max_res(frame, processing_res)
-        f = frame.astype(np.float32) / 255.0 * 2.0 - 1.0
-        out.append(f.transpose(2, 0, 1))
+        if dtype == "uint8":
+            out.append(np.ascontiguousarray(frame.transpose(2, 0, 1)))
+        else:
+            f = frame.astype(np.float32) / 255.0 * 2.0 - 1.0
+            out.append(f.transpose(2, 0, 1))
 
     if not out:
         raise RuntimeError(f"No frame is loaded from {path}")
