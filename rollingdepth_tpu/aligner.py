@@ -11,18 +11,21 @@ spatially ::factor-subsampled snippets (:82-92); the solved (s, t) are then
 applied at full resolution and overlapping windows averaged per frame
 (:231-262).
 
-TPU-first redesign: the reference materializes dense [sum(w), T, HW] scatter
-buffers per Adam step inside a Python closure.  Here the objective is a pure
-function using segment-sum scatters into a [T, P] accumulator, the whole
-2000-step Adam run is one ``lax.scan`` under jit (zero host round-trips), and
-channels are handled natively (C>=1), which subsumes the my_aligner.py
-variant used for per-RGB-channel alignment.
+TPU-first redesign:
+- the whole 2000-step Adam run is ONE ``lax.scan`` under jit (zero host
+  round-trips), cached per shape bucket so repeat calls never recompile
+- scatter/gather become one-hot matmuls (MXU streams instead of serialized
+  VPU row scatters), including the full-resolution merge
+- equal-window groups are stacked into single tensors (one op set serves
+  all dilations)
+- channels are native (C>=1), which subsumes the my_aligner.py variant used
+  for per-RGB-channel alignment
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +48,24 @@ class AlignerConfig:
     border: int = 2
     depth_loss_weight: float = 1.0
     loss_scale: float = 1.0
+
+
+# jit caches shared across aligner instances (keyed by shapes + config)
+_SOLVE_CACHE: Dict[Any, Any] = {}
+_MERGE_CACHE: Dict[Any, Any] = {}
+
+
+def _onehot_tables(index_mats, seq_len: int):
+    """[rows, T] assignment matrices + per-frame coverage counts."""
+    onehots = []
+    counts = np.zeros((seq_len,), np.float32)
+    for idx in index_mats:
+        idx_np = np.asarray(idx)
+        oh = np.zeros((idx_np.size, seq_len), np.float32)
+        oh[np.arange(idx_np.size), idx_np.reshape(-1)] = 1.0
+        onehots.append(jnp.asarray(oh))
+        counts += np.bincount(idx_np.reshape(-1), minlength=seq_len)
+    return onehots, jnp.asarray(counts)
 
 
 class DepthAligner:
@@ -75,125 +96,149 @@ class DepthAligner:
         mn = jnp.min(jnp.stack([s.min() for s in snippet_ls]))
         snippet_ls = [s - mn for s in snippet_ls]
 
-        # border crop + spatial subsample (:82-92)
+        # border crop + spatial subsample (:82-92); b:-b:f == crop-then-stride
         b, f = cfg.border, cfg.factor
-        # b:-b:f == crop-then-stride, the reference order
         solver_views = [s[:, :, :, b:-b:f, b:-b:f] for s in snippet_ls]
 
         index_mats = [
-            jnp.asarray(snippet_index_matrix(seq_len, s.shape[1], d))
+            snippet_index_matrix(seq_len, s.shape[1], d)
             for s, d in zip(snippet_ls, dilations)
         ]
+        onehots, counts = _onehot_tables(index_mats, seq_len)
 
-        scales, translations, history = self._optimize(solver_views, index_mats, seq_len)
+        scales, translations, history = self._optimize(
+            solver_views, onehots, counts, seq_len
+        )
         merged = self._merge(snippet_ls, index_mats, scales, translations, seq_len)
         return merged, scales, translations, history
 
     # ------------------------------------------------------------------
-    def _optimize(self, views, index_mats, seq_len: int):
+    def _optimize(self, views, onehots, counts, seq_len: int):
         cfg = self.config
         # flatten pixels: [S, w, P] with P = C*H'*W'  (C-native generalization
         # of depth_aligner.py:140-143 / my_aligner.py:148-153)
         flat = [v.reshape(v.shape[0], v.shape[1], -1) for v in views]
-        p_dim = flat[0].shape[-1]
-        rows_total = sum(v.shape[1] for v in views)  # sum of window lengths
-        denom = rows_total * seq_len * p_dim  # numel of the reference's M
+        shapes = tuple(v.shape for v in flat)
+        key = ("solve", shapes, seq_len, cfg)
 
-        # one-hot frame-assignment matrices: scatter/gather become matmuls
-        # (MXU work instead of serialized VPU scatters — ~4x faster per Adam
-        # step on TPU, bit-identical objective)
-        onehots = []
-        counts = np.zeros((seq_len,), np.float32)
-        for idx in index_mats:
-            idx_np = np.asarray(idx)
-            oh = np.zeros((idx_np.size, seq_len), np.float32)
-            oh[np.arange(idx_np.size), idx_np.reshape(-1)] = 1.0
-            onehots.append(jnp.asarray(oh))
-            counts += np.bincount(idx_np.reshape(-1), minlength=seq_len)
-        counts = jnp.asarray(counts)
+        if key not in _SOLVE_CACHE:
+            sizes = [v.shape[0] for v in flat]
+            widths = [v.shape[1] for v in flat]
+            p_dim = flat[0].shape[-1]
+            rows_total = sum(widths)
+            denom = rows_total * seq_len * p_dim  # numel of the reference's M
+            # equal-window groups stack into single tensors
+            stacked = len(set(widths)) == 1
+            bounds = np.concatenate([[0], np.cumsum(sizes)])
+            opt = optax.adam(cfg.lr, b1=0.5, b2=0.9, eps=1e-8)  # :159
 
-        def loss_fn(params):
-            s_list, t_list = params
-            sum_m = jnp.zeros((seq_len, p_dim), jnp.float32)
-            sum_inv = jnp.zeros((seq_len, p_dim), jnp.float32)
-            a_list, ainv_list = [], []
-            for v, oh, s, t in zip(flat, onehots, s_list, t_list):
-                a = v * s[:, None, None] + t[:, None, None]  # [S, w, P]
-                a_inv = jnp.clip(a, 1e-3, None) ** -1
-                sum_m = sum_m + oh.T @ a.reshape(-1, p_dim)
-                sum_inv = sum_inv + oh.T @ a_inv.reshape(-1, p_dim)
-                a_list.append(a)
-                ainv_list.append(a_inv)
+            def loss_fn(params, flat_t, oh_t, counts):
+                s_list, t_list = params
+                if stacked:
+                    flat_all = jnp.concatenate(flat_t, axis=0)
+                    oh_all = jnp.concatenate(oh_t, axis=0)
+                    s_all = jnp.concatenate(s_list)
+                    t_all = jnp.concatenate(t_list)
+                    a = flat_all * s_all[:, None, None] + t_all[:, None, None]
+                    a_inv = jnp.clip(a, 1e-3, None) ** -1
+                    sum_m = oh_all.T @ a.reshape(-1, p_dim)
+                    sum_inv = oh_all.T @ a_inv.reshape(-1, p_dim)
+                    groups = [(a, a_inv, oh_all)]
+                else:
+                    sum_m = jnp.zeros((seq_len, p_dim), jnp.float32)
+                    sum_inv = jnp.zeros((seq_len, p_dim), jnp.float32)
+                    groups = []
+                    for v, oh, s, t in zip(flat_t, oh_t, s_list, t_list):
+                        a = v * s[:, None, None] + t[:, None, None]
+                        a_inv = jnp.clip(a, 1e-3, None) ** -1
+                        sum_m = sum_m + oh.T @ a.reshape(-1, p_dim)
+                        sum_inv = sum_inv + oh.T @ a_inv.reshape(-1, p_dim)
+                        groups.append((a, a_inv, oh))
 
-            target = jax.lax.stop_gradient(sum_m / counts[:, None])
-            target_inv = jax.lax.stop_gradient(sum_inv / counts[:, None])
-            scale = jnp.abs(target).mean(-1, keepdims=True)  # [T, 1]
-            scale_inv = jnp.abs(target_inv).mean(-1, keepdims=True)
-            scale = jax.lax.stop_gradient(scale)
-            scale_inv = jax.lax.stop_gradient(scale_inv)
+                target = jax.lax.stop_gradient(sum_m / counts[:, None])
+                target_inv = jax.lax.stop_gradient(sum_inv / counts[:, None])
+                scale = jax.lax.stop_gradient(jnp.abs(target).mean(-1, keepdims=True))
+                scale_inv = jax.lax.stop_gradient(
+                    jnp.abs(target_inv).mean(-1, keepdims=True)
+                )
 
-            loss_m = 0.0
-            loss_inv = 0.0
-            for a, a_inv, oh, idx in zip(a_list, ainv_list, onehots, index_mats):
-                shape = a.shape
-                tgt = (oh @ target).reshape(shape)  # gather via matmul
-                tgt_inv = (oh @ target_inv).reshape(shape)
-                sc = (oh @ scale).reshape(shape[:2] + (1,))
-                sc_inv = (oh @ scale_inv).reshape(shape[:2] + (1,))
-                loss_m += jnp.abs((a - tgt) / sc).sum()
-                loss_inv += jnp.abs((a_inv - tgt_inv) / sc_inv).sum()
-            loss = loss_m / denom + cfg.depth_loss_weight * (loss_inv / denom)
+                loss_m = 0.0
+                loss_inv = 0.0
+                for a, a_inv, oh in groups:
+                    shape = a.shape
+                    tgt = (oh @ target).reshape(shape)  # gather via matmul
+                    tgt_inv = (oh @ target_inv).reshape(shape)
+                    sc = (oh @ scale).reshape(shape[:2] + (1,))
+                    sc_inv = (oh @ scale_inv).reshape(shape[:2] + (1,))
+                    loss_m += jnp.abs((a - tgt) / sc).sum()
+                    loss_inv += jnp.abs((a_inv - tgt_inv) / sc_inv).sum()
+                loss = loss_m / denom + cfg.depth_loss_weight * (loss_inv / denom)
 
-            soft = 0.0
-            for s, t in zip(s_list, t_list):
-                soft += cfg.lmda2 * (jnp.maximum(0.0, 1.0 - s) ** 2).mean()
-                soft += cfg.lmda3 * (t**2).mean()
-            total = cfg.loss_scale * loss + soft
-            aux = (target.min(), target.max())
-            return total, aux
+                soft = 0.0
+                for s, t in zip(s_list, t_list):
+                    soft += cfg.lmda2 * (jnp.maximum(0.0, 1.0 - s) ** 2).mean()
+                    soft += cfg.lmda3 * (t**2).mean()
+                total = cfg.loss_scale * loss + soft
+                aux = (target.min(), target.max())
+                return total, aux
 
-        params = (
-            [jnp.ones((v.shape[0],), jnp.float32) for v in flat],
-            [jnp.zeros((v.shape[0],), jnp.float32) for v in flat],
+            @jax.jit
+            def solve(flat_t, oh_t, counts):
+                params = (
+                    [jnp.ones((n,), jnp.float32) for n in sizes],
+                    [jnp.zeros((n,), jnp.float32) for n in sizes],
+                )
+                state = opt.init(params)
+
+                def step(carry, _):
+                    params, state = carry
+                    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                        params, flat_t, oh_t, counts
+                    )
+                    updates, state = opt.update(grads, state)
+                    params = optax.apply_updates(params, updates)
+                    return (params, state), jnp.stack([loss, aux[0], aux[1]])
+
+                (params, _), history = jax.lax.scan(
+                    step, (params, state), None, length=cfg.num_iterations, unroll=4
+                )
+                return params, history
+
+            _SOLVE_CACHE[key] = solve
+
+        (s_list, t_list), history = _SOLVE_CACHE[key](
+            tuple(flat), tuple(onehots), counts
         )
-        # torch.optim.Adam(lr, betas=(0.5, 0.9)) equivalent
-        # (depth_aligner.py:159)
-        opt = optax.adam(cfg.lr, b1=0.5, b2=0.9, eps=1e-8)
-
-        @jax.jit
-        def solve(params):
-            state = opt.init(params)
-
-            def step(carry, _):
-                params, state = carry
-                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-                updates, state = opt.update(grads, state)
-                params = optax.apply_updates(params, updates)
-                return (params, state), jnp.stack([loss, aux[0], aux[1]])
-
-            (params, _), history = jax.lax.scan(
-                step, (params, state), None, length=cfg.num_iterations, unroll=4
-            )
-            return params, history
-
-        (s_list, t_list), history = solve(params)
         return list(s_list), list(t_list), history
 
     # ------------------------------------------------------------------
     def _merge(self, snippet_ls, index_mats, scales, translations, seq_len: int) -> jnp.ndarray:
         """Apply (s, t) at full res; average covering windows per frame
-        (depth_aligner.py:231-262)."""
+        (depth_aligner.py:231-262) — as a one-hot matmul (MXU stream)."""
         c, h, w = snippet_ls[0].shape[-3:]
+        onehots = []
+        counts = np.zeros((seq_len,), np.float32)
+        for idx in index_mats:
+            idx_np = np.asarray(idx)
+            oh = np.zeros((seq_len, idx_np.size), np.float32)
+            oh[idx_np.reshape(-1), np.arange(idx_np.size)] = 1.0
+            onehots.append(jnp.asarray(oh))
+            counts += np.bincount(idx_np.reshape(-1), minlength=seq_len)
+        counts_j = jnp.asarray(counts)
 
-        @jax.jit
-        def merge(snippets, s_list, t_list):
-            acc = jnp.zeros((seq_len, c, h, w), jnp.float32)
-            cnt = jnp.zeros((seq_len,), jnp.float32)
-            for v, idx, s, t in zip(snippets, index_mats, s_list, t_list):
-                a = v * s[:, None, None, None, None] + t[:, None, None, None, None]
-                flat_idx = idx.reshape(-1)
-                acc = acc.at[flat_idx].add(a.reshape(-1, c, h, w))
-                cnt = cnt.at[flat_idx].add(1.0)
-            return acc / cnt[:, None, None, None]
+        key = ("merge", tuple(s.shape for s in snippet_ls), seq_len)
+        if key not in _MERGE_CACHE:
 
-        return merge(snippet_ls, scales, translations)
+            @jax.jit
+            def merge(snippets, oh_t, counts, s_list, t_list):
+                acc = jnp.zeros((seq_len, c * h * w), jnp.float32)
+                for v, oh, s, t in zip(snippets, oh_t, s_list, t_list):
+                    a = v * s[:, None, None, None, None] + t[:, None, None, None, None]
+                    acc = acc + oh @ a.reshape(-1, c * h * w)
+                return (acc / counts[:, None]).reshape(seq_len, c, h, w)
+
+            _MERGE_CACHE[key] = merge
+
+        return _MERGE_CACHE[key](
+            tuple(snippet_ls), tuple(onehots), counts_j, tuple(scales), tuple(translations)
+        )
