@@ -108,10 +108,12 @@ def load_rollingdepth_pipeline(
 
     # empty-prompt embedding, computed once
     # (/root/reference/rollingdepth/rollingdepth_pipeline.py:178-191)
+    import jax
+
     text_model, text_params = load_text_encoder(checkpoint_dir)
     tokenizer = CLIPTokenizer.from_pretrained(checkpoint_dir)
     ids = jnp.asarray([tokenizer("", padding="do_not_pad")])
-    empty_embed = text_model.apply(text_params, ids)
+    empty_embed = jax.jit(text_model.apply)(text_params, ids)
 
     pipe = RollingDepthPipeline(
         unet, unet_params, vae, vae_params, scheduler, empty_embed,

@@ -109,9 +109,12 @@ def load_relight_pipeline(
     if rmbg_dir and os.path.isdir(rmbg_dir):
         rmbg, rmbg_params = load_rmbg(rmbg_dir, jnp.float32)
 
+    import jax
+
+    text_apply = jax.jit(lambda ids: text_model.apply(text_params, ids))
     return RollingImgPipeline(
         unet, unet_params, vae, vae_params, scheduler, tokenizer,
-        lambda ids: text_model.apply(text_params, ids),
+        text_apply,
         base_unet_params=base_params, base_unet=base_unet,
         rmbg=rmbg, rmbg_params=rmbg_params,
         dtype=jdtype, snippet_batch=snippet_batch,
