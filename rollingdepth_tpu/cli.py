@@ -215,3 +215,16 @@ def main(argv=None) -> None:
         raise SystemExit(
             "Provide -i for depth estimation or -fi/-bi for relighting."
         )
+
+
+def save_snippets_as_video(snippets, output_path, fps: int = 30) -> None:
+    """Flatten [S, n, 1, H, W] snippet predictions into one grayscale video
+    (reference helper, run_video.py:45-78)."""
+    import numpy as np
+
+    arr = np.asarray(snippets, dtype=np.float32)
+    flat = arr.reshape(-1, *arr.shape[-2:])  # [(S n), H, W]
+    lo, hi = flat.min(), flat.max()
+    norm = ((flat - lo) / max(hi - lo, 1e-8) * 255).astype(np.uint8)
+    rgb = np.repeat(norm[..., None], 3, axis=-1)
+    write_video_from_numpy(rgb, output_path, fps=fps)

@@ -25,21 +25,33 @@ logger = logging.getLogger(__name__)
 VIDEO_EXTENSIONS = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v")
 
 
+_RESAMPLE_UP = {
+    "BILINEAR": cv2.INTER_LINEAR,
+    "BICUBIC": cv2.INTER_CUBIC,
+    "NEAREST_EXACT": cv2.INTER_NEAREST_EXACT,
+    "NEAREST": cv2.INTER_NEAREST,
+}
+
+
 def resize_max_res(
     img: np.ndarray,  # [H, W, C] uint8 or float
     max_edge_resolution: int,
+    resample_method: str = "BILINEAR",
 ) -> np.ndarray:
     """Aspect-preserving resize so max(H, W) <= max_edge (video_io.py:38-68).
 
-    Uses INTER_AREA for downscale (antialiased, matching the reference's
-    antialias=True bilinear intent) and INTER_LINEAR for upscale.
+    For BILINEAR downscale, INTER_AREA approximates the reference's
+    antialias=True behavior; other methods map to their cv2 equivalents.
     """
     h, w = img.shape[:2]
     scale = min(max_edge_resolution / w, max_edge_resolution / h)
     new_w, new_h = int(w * scale), int(h * scale)
     if (new_w, new_h) == (w, h):
         return img
-    interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_LINEAR
+    if resample_method == "BILINEAR":
+        interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_LINEAR
+    else:
+        interp = _RESAMPLE_UP.get(resample_method, cv2.INTER_LINEAR)
     return cv2.resize(img, (new_w, new_h), interpolation=interp)
 
 
@@ -60,7 +72,10 @@ def load_video_frames(
     libavcodec — native/rolling_video.cc); falls back to OpenCV."""
     assert start_frame >= 0
     path = str(input_path)
-    if os.path.splitext(path)[1].lower() in VIDEO_EXTENSIONS:
+    if (
+        os.path.splitext(path)[1].lower() in VIDEO_EXTENSIONS
+        and resample_method == "BILINEAR"  # native path is bilinear-only
+    ):
         from . import native_video
 
         if native_video.available():
@@ -92,7 +107,7 @@ def load_video_frames(
         if original_res is None:
             original_res = frame.shape[:2]
         if processing_res > 0:
-            frame = resize_max_res(frame, processing_res)
+            frame = resize_max_res(frame, processing_res, resample_method)
         if dtype == "uint8":
             out.append(np.ascontiguousarray(frame.transpose(2, 0, 1)))
         else:
