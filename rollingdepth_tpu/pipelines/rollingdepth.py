@@ -295,7 +295,10 @@ class RollingDepthPipeline:
         depth_coaligned = depth_coaligned - depth_coaligned.min()
         depth_coaligned = depth_coaligned / depth_coaligned.max()
         depth_coaligned = depth_coaligned * 2.0 - 1.0  # [N, 1, H, W]
+        if verbose:
+            _sync(depth_coaligned)
         timings["coalign"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         # ---- refinement (reference :323-343)
         if refine_step > 0:
@@ -316,6 +319,7 @@ class RollingDepthPipeline:
             timings["refine"] = time.perf_counter() - t0
         else:
             depth_pred = _fetch_f32(depth_coaligned)
+            timings["fetch"] = time.perf_counter() - t0
 
         if verbose:
             logger.info("phase timings: %s", {k: f"{v:.2f}s" for k, v in timings.items()})
