@@ -20,7 +20,7 @@ import os
 import queue
 import subprocess
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

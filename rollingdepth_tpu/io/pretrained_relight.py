@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 import dataclasses as _dc
 
-from ..models.clip_text import CLIPTextConfig, CLIPTextModel
 from ..models.rmbg import BriaRMBG
 from ..models.unet import UNet2DCondition, UNetConfig
 from ..schedulers.dpmsolver import DPMSolverConfig, DPMSolverMultistepScheduler

@@ -16,7 +16,7 @@ shapes) instead of a Python loop over ``max_vae_bs`` slices.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

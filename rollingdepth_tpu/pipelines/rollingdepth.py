@@ -27,7 +27,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,7 @@ from ..aligner import AlignerConfig, DepthAligner
 from ..models.unet import UNet2DCondition, unet_apply
 from ..models.vae import AutoencoderKL
 from ..schedulers.ddim import DDIMScheduler
-from ..io.video import load_video_frames, resize_max_res
+from ..io.video import load_video_frames
 from .snippets import cap_max_dilation, current_gap, snippet_index_matrix
 
 logger = logging.getLogger(__name__)

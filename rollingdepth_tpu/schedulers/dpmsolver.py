@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import make_alphas_cumprod, rescale_zero_terminal_snr, make_betas
+from .common import make_betas, rescale_zero_terminal_snr
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,7 +13,7 @@ import contextlib
 import logging
 import os
 import time
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 logger = logging.getLogger(__name__)
 
