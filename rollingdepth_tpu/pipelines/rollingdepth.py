@@ -321,14 +321,15 @@ class RollingDepthPipeline:
             depth_pred = _fetch_f32(depth_coaligned)
             timings["fetch"] = time.perf_counter() - t0
 
-        if verbose:
-            logger.info("phase timings: %s", {k: f"{v:.2f}s" for k, v in timings.items()})
-        self.last_timings = timings
-
+        t0 = time.perf_counter()
         if input_frames.dtype == np.uint8:
             input_rgb = input_frames.astype(np.float32) / 255.0
         else:
             input_rgb = np.asarray(input_frames, dtype=np.float32) / 2.0 + 0.5
+        timings["output"] = time.perf_counter() - t0
+        if verbose:
+            logger.info("phase timings: %s", {k: f"{v:.2f}s" for k, v in timings.items()})
+        self.last_timings = timings
         return RollingDepthOutput(
             input_rgb=input_rgb,
             depth_pred=np.asarray(depth_pred, dtype=np.float32),
