@@ -1,0 +1,77 @@
+"""Minimal SD t2i/i2i pipeline tests (tiny models)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rollingdepth_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
+from rollingdepth_tpu.models.vae import AutoencoderKL, VAEConfig
+from rollingdepth_tpu.pipelines.stable_diffusion import (
+    StableDiffusionImg2ImgPipeline,
+    StableDiffusionPipeline,
+)
+from rollingdepth_tpu.schedulers.dpmsolver import DPMSolverConfig, DPMSolverMultistepScheduler
+
+
+class FakeTokenizer:
+    model_max_length = 7
+    bos_token_id = 0
+    eos_token_id = 1
+
+    def tokenize_ids(self, text):
+        return [2 + (ord(c) % 5) for c in text.replace(" ", "")][:10]
+
+
+@pytest.fixture(scope="module")
+def tiny_sd():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    cfg = dataclasses.replace(UNetConfig.tiny(in_channels=4), cross_attention_dim=16)
+    unet = UNet2DCondition(cfg)
+    vae = AutoencoderKL(VAEConfig.tiny())
+    text_model = CLIPTextModel(CLIPTextConfig.tiny())
+    text_params = text_model.init(ks[2])
+    sched = DPMSolverMultistepScheduler(DPMSolverConfig(
+        beta_start=0.00085, beta_end=0.012, algorithm_type="sde-dpmsolver++",
+        use_karras_sigmas=True, steps_offset=1,
+    ))
+    return StableDiffusionPipeline(
+        unet, unet.init(ks[0]), vae, vae.init(ks[1]), sched,
+        FakeTokenizer(), lambda ids: text_model.apply(text_params, ids),
+        dtype=jnp.float32,
+    )
+
+
+def test_t2i(tiny_sd):
+    img = tiny_sd("a scene", height=32, width=32, num_inference_steps=4,
+                  guidance_scale=3.0, batch=2, seed=1)
+    assert img.shape == (2, 3, 32, 32)
+    assert np.isfinite(img).all()
+
+
+def test_t2i_latents_and_determinism(tiny_sd):
+    a = tiny_sd("x", height=32, width=32, num_inference_steps=3, seed=5,
+                output_latents=True)
+    b = tiny_sd("x", height=32, width=32, num_inference_steps=3, seed=5,
+                output_latents=True)
+    assert a.shape == (1, 16, 16, 4)  # tiny VAE downsamples by 2
+    np.testing.assert_array_equal(a, b)
+    c = tiny_sd("x", height=32, width=32, num_inference_steps=3, seed=6,
+                output_latents=True)
+    assert np.abs(a - c).max() > 1e-4
+
+
+def test_img2img(tiny_sd):
+    rng = np.random.RandomState(0)
+    src = rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    i2i = StableDiffusionImg2ImgPipeline(
+        tiny_sd.unet, tiny_sd.unet_params, tiny_sd.vae, tiny_sd.vae_params,
+        tiny_sd.scheduler, tiny_sd.tokenizer, tiny_sd.text_apply, dtype=jnp.float32,
+    )
+    out = i2i("restyle", image=src, strength=0.5, num_inference_steps=4, seed=2)
+    assert out.shape == (1, 3, 32, 32)
+    assert np.isfinite(out).all()
