@@ -70,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Snippets denoised per device step (TPU batching).")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
+    # relight-mode prompts (defaults = the reference's hardcoded set,
+    # rollingimg_pipeline.py:1148-1150)
+    parser.add_argument("--prompt", type=str, default=None)
+    parser.add_argument("--a-prompt", type=str, default=None, dest="a_prompt")
+    parser.add_argument("--n-prompt", type=str, default=None, dest="n_prompt")
+    parser.add_argument("--init-mode", type=str, default="t2i",
+                        choices=["t2i", "shared_noise", "passthrough"],
+                        help="Relight init-latent source (replaces the reference's precomputed blob).")
     return parser
 
 
@@ -182,6 +190,15 @@ def run_relight(args, settings) -> None:
     output_dir.mkdir(parents=True, exist_ok=True)
     fg_videos = enumerate_videos(args.input_fg_video)
     bg_videos = enumerate_videos(args.input_bg_video)
+    from .pipelines import rollingimg as ri
+
+    prompt_kwargs = {}
+    if args.prompt is not None:
+        prompt_kwargs["prompt"] = args.prompt
+    if args.a_prompt is not None:
+        prompt_kwargs["a_prompt"] = args.a_prompt
+    if args.n_prompt is not None:
+        prompt_kwargs["n_prompt"] = args.n_prompt
     for fg in fg_videos:
         for bg in bg_videos:
             fg, bg = Path(fg), Path(bg)
@@ -190,9 +207,11 @@ def run_relight(args, settings) -> None:
                 input_bg_video_path=bg,
                 start_frame=settings.start_frame,
                 frame_count=settings.frame_count,
-                seed=settings.seed,
+                seed=settings.seed if settings.seed is not None else ri.DEFAULT_SEED,
+                init_mode=args.init_mode,
                 verbose=settings.verbose,
                 max_vae_bs=settings.max_vae_bs,
+                **prompt_kwargs,
             )
             combined = np.concatenate([out.R_pred, out.G_pred, out.B_pred], axis=1)
             combined = np.clip(combined * 255, 0, 255).astype(np.uint8)
