@@ -15,10 +15,16 @@ the 3090's 71 TFLOP/s. The driver target is vs_baseline >= 5.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: repeat bench runs skip the multi-minute
+# SD2-UNet/VAE compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rollingdepth_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def flops_per_frame(h=768, w=432, dilation_count=2, snippet_len=3, unet_steps=1):

@@ -13,6 +13,7 @@ The step is a pure function usable under ``jax.jit`` with dp+tp shardings
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -95,3 +96,26 @@ def make_train_step(unet_cfg: UNetConfig, scheduler: DDIMScheduler, cfg: TrainCo
         )
 
     return train_step
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(state: TrainState, path: str) -> None:
+    """Persist params/opt_state/step with orbax (async-safe, atomic)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state._asdict(), force=True)
+
+
+def restore_train_state(path: str, template: TrainState) -> TrainState:
+    """Restore a TrainState saved by ``save_train_state``; ``template``
+    provides the tree structure/shapes (e.g. a freshly-initialized state)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path), template._asdict())
+    return TrainState(**restored)

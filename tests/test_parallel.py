@@ -91,3 +91,34 @@ def test_param_sharding_specs():
     row = [s for p, s in flat if "to_out" in str(p) and "kernel" in str(p)]
     assert col and col[0].spec == jax.sharding.PartitionSpec(None, "tp")
     assert row and row[0].spec == jax.sharding.PartitionSpec("tp", None)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
+    from rollingdepth_tpu.schedulers.ddim import DDIMConfig, DDIMScheduler
+    from rollingdepth_tpu.training import (
+        TrainConfig, init_train_state, make_train_step,
+        restore_train_state, save_train_state,
+    )
+
+    cfg = UNetConfig.tiny()
+    unet = UNet2DCondition(cfg)
+    tcfg = TrainConfig()
+    state = init_train_state(unet.init(jax.random.PRNGKey(0)), tcfg)
+
+    # advance one step so opt_state is non-trivial
+    step = make_train_step(cfg, DDIMScheduler(DDIMConfig()), tcfg)
+    batch = {
+        "rgb_latent": jax.random.normal(jax.random.PRNGKey(1), (2, 2, 8, 8, 4)),
+        "depth_latent": jax.random.normal(jax.random.PRNGKey(2), (2, 2, 8, 8, 4)),
+        "text_embed": jax.random.normal(jax.random.PRNGKey(3), (1, 2, 8)),
+    }
+    state, _ = jax.jit(step)(state, batch, jax.random.PRNGKey(4))
+
+    path = str(tmp_path / "ckpt")
+    save_train_state(state, path)
+    restored = restore_train_state(path, init_train_state(unet.init(jax.random.PRNGKey(9)), tcfg))
+    assert int(restored.step) == 1
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
