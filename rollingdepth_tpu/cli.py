@@ -112,15 +112,39 @@ def run_depth(args, settings) -> None:
     output_dir.mkdir(parents=True, exist_ok=True)
     videos = enumerate_videos(args.input_video)
 
-    for video_path in videos:
-        video_path = Path(video_path)
+    # prefetch: decode video k+1 on a host thread while k computes
+    import queue
+    import threading
+
+    from .io.video import load_video_frames
+
+    decode_q: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def _decoder():
+        for v in videos:
+            try:
+                frames, orig = load_video_frames(
+                    v, start_frame=settings.start_frame,
+                    frame_count=settings.frame_count,
+                    processing_res=settings.res,
+                    resample_method=settings.resample_method,
+                    dtype="uint8",
+                )
+                decode_q.put((v, frames, orig, None))
+            except Exception as e:  # noqa: BLE001
+                decode_q.put((v, None, None, e))
+
+    threading.Thread(target=_decoder, daemon=True).start()
+
+    for _ in videos:
+        v, frames, orig, err = decode_q.get()
+        if err is not None:
+            raise err
+        video_path = Path(v)
         logging.info("Processing %s", video_path)
         out = pipe(
-            input_video_path=video_path,
-            start_frame=settings.start_frame,
-            frame_count=settings.frame_count,
-            processing_res=settings.res,
-            resample_method=settings.resample_method,
+            input_frames=frames,
+            original_res=orig,
             dilations=list(settings.dilations),
             cap_dilation=settings.cap_dilation,
             snippet_lengths=list(settings.snippet_lengths),

@@ -135,7 +135,8 @@ class RollingDepthPipeline:
     def __call__(
         self,
         input_video_path=None,
-        input_frames: Optional[np.ndarray] = None,  # [N, 3, H, W] in [-1, 1]
+        input_frames: Optional[np.ndarray] = None,  # [N, 3, H, W]: [-1,1] f32 or uint8
+        original_res=None,  # (H, W) before resize, for restore_res with input_frames
         start_frame: int = 0,
         frame_count: int = 0,
         processing_res: int = 1024,
@@ -171,7 +172,7 @@ class RollingDepthPipeline:
                 dtype="uint8",  # normalized on device
             )
             logger.info("%d frames loaded from video %s", len(input_frames), input_video_path)
-        else:
+        elif original_res is None:
             original_res = input_frames.shape[-2:]
 
         out = self.forward(
