@@ -45,15 +45,34 @@ logger = logging.getLogger(__name__)
 Params = Dict[str, Any]
 
 
-@dataclasses.dataclass
 class RollingDepthOutput:
     """Mirror of the reference output container
-    (/root/reference/rollingdepth/rollingdepth_pipeline.py:44-49)."""
+    (/root/reference/rollingdepth/rollingdepth_pipeline.py:44-49).
 
-    input_rgb: np.ndarray  # [N, 3, H, W] in [0, 1]
-    depth_pred: np.ndarray  # [N, 1, H, W] in [-1, 1]
-    snippet_ls: Optional[List[np.ndarray]]  # per dilation [S, n, 1, H, W]
-    depth_coaligned: Optional[np.ndarray]  # [N, 1, H, W]
+    ``input_rgb`` is computed lazily: the uint8->float conversion of a full
+    clip costs seconds on the host and most consumers never read it."""
+
+    def __init__(self, input_frames, depth_pred, snippet_ls, depth_coaligned):
+        self._input_frames = input_frames  # [N, 3, H, W] uint8 or f32 [-1,1]
+        self.depth_pred = depth_pred  # [N, 1, H, W] in [-1, 1]
+        self.snippet_ls = snippet_ls  # per dilation [S, n, 1, H, W]
+        self.depth_coaligned = depth_coaligned  # [N, 1, H, W]
+        self._input_rgb = None
+
+    @property
+    def input_rgb(self) -> np.ndarray:
+        """[N, 3, H, W] in [0, 1]."""
+        if self._input_rgb is None:
+            f = self._input_frames
+            if f.dtype == np.uint8:
+                self._input_rgb = f.astype(np.float32) / 255.0
+            else:
+                self._input_rgb = np.asarray(f, dtype=np.float32) / 2.0 + 0.5
+        return self._input_rgb
+
+    @input_rgb.setter
+    def input_rgb(self, value):
+        self._input_rgb = value
 
 
 def _pad_rows(x: np.ndarray, target: int) -> np.ndarray:
@@ -322,17 +341,11 @@ class RollingDepthPipeline:
             depth_pred = _fetch_f32(depth_coaligned)
             timings["fetch"] = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        if input_frames.dtype == np.uint8:
-            input_rgb = input_frames.astype(np.float32) / 255.0
-        else:
-            input_rgb = np.asarray(input_frames, dtype=np.float32) / 2.0 + 0.5
-        timings["output"] = time.perf_counter() - t0
         if verbose:
             logger.info("phase timings: %s", {k: f"{v:.2f}s" for k, v in timings.items()})
         self.last_timings = timings
         return RollingDepthOutput(
-            input_rgb=input_rgb,
+            input_frames=input_frames,
             depth_pred=np.asarray(depth_pred, dtype=np.float32),
             snippet_ls=snippet_ls,
             # reuse the already-fetched array when no refinement ran
