@@ -406,6 +406,27 @@ class RollingDepthPipeline:
         out = self._jit_cache[key](self.vae_params, latents)
         return out[:n]
 
+    def _decode_rgb(self, latents: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
+        """[N, h, w, 4] -> [N, H, W, 3] full RGB decode (no channel mean) —
+        the relight/passthrough decode variant (rollingimg decode_rgb)."""
+        n = latents.shape[0]
+        bs = min(vae_bs, n)
+        pad = (-n) % bs
+        key = ("decode_rgb", latents.shape[1:], bs)
+        if key not in self._jit_cache:
+            vae = self.vae
+
+            @jax.jit
+            def fn(params, z):
+                chunks = z.reshape((-1, bs) + z.shape[1:])
+                out = jax.lax.map(lambda c: vae.decode(params, c), chunks)
+                return out.reshape((-1,) + out.shape[2:])
+
+            self._jit_cache[key] = fn
+        if pad:
+            latents = jnp.concatenate([latents, latents[-1:].repeat(pad, axis=0)], axis=0)
+        return self._jit_cache[key](self.vae_params, latents)[:n]
+
     def _infer_snippets(
         self,
         rgb_latent: jnp.ndarray,  # [N, h, w, 4]

@@ -85,3 +85,16 @@ def test_pipeline_shared_init_noise_consistency(tiny_pipeline):
     d = out.depth_coaligned
     for i in range(1, 6):
         np.testing.assert_allclose(d[i], d[0], rtol=5e-3, atol=5e-3)
+
+
+def test_iclight_passthrough_pipeline(tiny_pipeline):
+    """Gen-2 experiment: output reconstructs the input through the VAE
+    (iclight_pipeline.py semantics)."""
+    from rollingdepth_tpu.pipelines.iclight import ICLightPassthroughPipeline
+
+    pipe = ICLightPassthroughPipeline(tiny_pipeline)
+    frames = _frames(n=6)
+    out = pipe.forward(frames, dilations=[1, 2], seed=0)
+    assert out.shape == (6, 3, 32, 32)
+    assert np.isfinite(out).all()
+    assert out.min() >= -1.001 and out.max() <= 1.001
