@@ -57,3 +57,25 @@ def test_chunked_attention_matches_dense():
     ref = _xla_attention(q, k, v)
     out = _chunked_attention(q, k, v, block_q=256)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_conv3x3_matches_xla():
+    from rollingdepth_tpu.ops.conv3x3 import conv3x3_same
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 20, 24, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    out = conv3x3_same(x, w, b, block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # odd height exercising row padding
+    x2 = jnp.asarray(rng.randn(1, 13, 24, 8).astype(np.float32))
+    ref2 = jax.lax.conv_general_dilated(
+        x2, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    out2 = conv3x3_same(x2, w, block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-4, atol=1e-4)
