@@ -118,3 +118,28 @@ def test_cli_preset_merge():
     assert settings.res == 512  # explicit flag overrides preset
     assert settings.dilations == [1, 25]
     assert settings.refine_step == 0
+
+
+def test_cli_depth_directory_input(tiny_checkpoint, tiny_video, tmp_path):
+    """Directory input exercises the multi-video decode-prefetch path."""
+    import shutil
+
+    vid_dir = tmp_path / "vids"
+    vid_dir.mkdir()
+    shutil.copy(tiny_video, vid_dir / "a.mp4")
+    shutil.copy(tiny_video, vid_dir / "b.mp4")
+
+    from rollingdepth_tpu.cli import main
+
+    out_dir = tmp_path / "out"
+    main([
+        "-i", str(vid_dir), "-o", str(out_dir), "-p", "none",
+        "-c", tiny_checkpoint, "--res", "32", "--dilations", "1",
+        "--refine-step", "0", "--dtype", "fp32", "--seed", "0",
+        "--cmap", "Spectral_r", "--save-sbs", "false",
+    ])
+    assert (out_dir / "a_pred.npy").exists()
+    assert (out_dir / "b_pred.npy").exists()
+    a = np.load(out_dir / "a_pred.npy")
+    b = np.load(out_dir / "b_pred.npy")
+    np.testing.assert_array_equal(a, b)  # identical clips -> identical output
