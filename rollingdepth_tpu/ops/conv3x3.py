@@ -11,14 +11,19 @@ CONTIGUOUS slice ``flat[dy*Wp + dx : dy*Wp + dx + rows*Wp]`` — so the conv is
 contraction and zero data duplication.  The two halo columns per row produce
 garbage output pixels that the caller slices off.
 
-Notes from on-chip measurement (v5e, bs16 432x768 128ch, block_rows=16):
-58 TF/s vs XLA's 80 TF/s — correct but not yet faster.  Known structure of
-the gap (see doc/ROADMAP.md): per-tap K=128 matmuls run the MXU at ~half
-peak (pipeline-latency bound); concatenating 4 taps along K (VPU copy into a
-[pixels, 512] staging buffer) and double-buffering the halo DMA are the next
-steps.  Mosaic constraints hit on the way: >2-D refs with manual DMA crash
-this compiler build (hence the flat form), and bf16 DMA starts/sizes must be
-16-row multiples (hence wp rounded to 16).
+On-chip results (v5e, bs16 432x768): v1 58 TF/s, double-buffered v1b
+69 TF/s, XLA 78 TF/s — correct at 128 channels but NOT yet faster than XLA.
+
+*** WARNING: at 256 channels the double-buffered variant MISCOMPILES on this
+Mosaic build (silently wrong values, err ~1.0), as did the K-concat staging
+variant at 128.  These kernels are research prototypes; the model paths use
+XLA convs.  Any future enablement must ship with a runtime parity check per
+shape. ***
+
+Mosaic constraints hit along the way: >2-D refs with manual DMA crash this
+compiler build (hence the flat form); bf16 DMA starts/sizes must be 16-row
+multiples (hence wp rounded to 16); sublane-shifted VMEM reads appear to be
+the miscompile trigger.
 """
 
 from __future__ import annotations
@@ -113,6 +118,104 @@ def conv3x3_same(
         interpret=interpret,
     )(flat, wf)
     # un-flatten and drop the 2 garbage halo columns + row padding
+    out = out.reshape(n, hp, wp, cout)[:, :h, :width]
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# v1b: double-buffered halo DMA (prefetch next tile during compute)
+# ---------------------------------------------------------------------------
+
+
+def _conv_kernel_db(x_hbm, w_ref, o_ref, tiles, acc_ref, sems, *, rows, wp, cin,
+                    cout, img_rows, tiles_per_img, n_img):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    step = i * tiles_per_img + j
+    n_steps = n_img * tiles_per_img
+    size = (rows + 2) * wp
+
+    def start_for(s):
+        img = s // tiles_per_img
+        tile_j = s % tiles_per_img
+        return img * img_rows * wp + tile_j * rows * wp
+
+    slot = jax.lax.rem(step, 2)
+    next_slot = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _warmup():
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start_for(step), size)],
+            tiles.at[0, pl.ds(0, size)], sems.at[0],
+        ).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _prefetch():
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start_for(step + 1), size)],
+            tiles.at[next_slot, pl.ds(0, size)], sems.at[next_slot],
+        ).start()
+
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start_for(step), size)],
+        tiles.at[slot, pl.ds(0, size)], sems.at[slot],
+    ).wait()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for dy in range(3):
+        for dx in range(3):
+            off = dy * wp + dx
+            a = tiles[slot, off : off + rows * wp, :]
+            acc_ref[:] += jax.lax.dot_general(
+                a, w_ref[dy * 3 + dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def conv3x3_same_db(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    block_rows: int = 16,
+) -> jnp.ndarray:
+    """Double-buffered variant of conv3x3_same (TPU only)."""
+    n, h, width, cin = x.shape
+    cout = w.shape[-1]
+    wp = (width + 2 + 15) // 16 * 16
+    rows = min(block_rows, h)
+    pad_h = (-h) % rows
+    hp = h + pad_h
+    xp = jnp.pad(x, ((0, 0), (1, 1 + pad_h), (1, wp - width - 1), (0, 0)))
+    flat = xp.reshape(n * (hp + 2) * wp, cin)
+    wf = w.reshape(9, cin, cout)
+    tiles_per_img = hp // rows
+
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_kernel_db, rows=rows, wp=wp, cin=cin, cout=cout,
+            img_rows=hp + 2, tiles_per_img=tiles_per_img, n_img=n,
+        ),
+        grid=(n, tiles_per_img),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, cin, cout), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows * wp, cout), lambda i, j: (i * tiles_per_img + j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n * hp * wp, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, (rows + 2) * wp + 16, cin), x.dtype),
+            pltpu.VMEM((rows * wp, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(flat, wf)
     out = out.reshape(n, hp, wp, cout)[:, :h, :width]
     if b is not None:
         out = out + b.astype(out.dtype)
