@@ -81,21 +81,10 @@ def test_pallas_conv3x3_matches_xla():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_conv3x3_db_matches_xla_interpret():
+def test_pallas_conv3x3_db_importable():
+    # the double-buffered variant is TPU-only (DMA prefetch semantics differ
+    # in the interpreter); compiled-mode correctness is shape-dependent on
+    # the current Mosaic build — see the module docstring warning
     from rollingdepth_tpu.ops.conv3x3 import conv3x3_same_db
 
-    # NOTE: compiled-mode correctness is shape-dependent on the current
-    # Mosaic build (see module docstring); interpret mode checks the logic
-    rng = np.random.RandomState(3)
-    x = jnp.asarray(rng.randn(2, 16, 24, 8).astype(np.float32))
-    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))
-    ref = jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    )
-    import functools
-    import jax as _jax
-    from jax.experimental import pallas as pl
-    # run via interpret by monkey-free path: the db variant has no interpret
-    # flag (TPU-only DMA semantics differ in interpreter), so just check it
-    # traces and the v1 interpret path covers the math
     assert callable(conv3x3_same_db)
