@@ -123,3 +123,21 @@ def load_rollingdepth_pipeline(
     pipe.text_model = text_model
     pipe.text_params = text_params
     return pipe
+
+
+def load_pipeline(checkpoint_dir: str, dtype="fp16", **kwargs):
+    """Dispatch on model_index.json's _class_name, like diffusers'
+    DiffusionPipeline.from_pretrained (pipeline_utils.py)."""
+    index_path = os.path.join(checkpoint_dir, "model_index.json")
+    class_name = "RollingDepthPipeline"
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            class_name = json.load(f).get("_class_name", class_name)
+    if class_name in ("RollingDepthPipeline", "DiffusionPipeline"):
+        return load_rollingdepth_pipeline(checkpoint_dir, dtype=dtype, **kwargs)
+    if class_name in ("RollingImgPipeline", "StableDiffusionPipeline",
+                      "StableDiffusionImg2ImgPipeline"):
+        from .pretrained_relight import load_relight_pipeline
+
+        return load_relight_pipeline(checkpoint_dir, dtype=dtype, **kwargs)
+    raise ValueError(f"Unknown pipeline class {class_name!r} in {index_path}")

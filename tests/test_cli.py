@@ -143,3 +143,11 @@ def test_cli_depth_directory_input(tiny_checkpoint, tiny_video, tmp_path):
     a = np.load(out_dir / "a_pred.npy")
     b = np.load(out_dir / "b_pred.npy")
     np.testing.assert_array_equal(a, b)  # identical clips -> identical output
+
+
+def test_load_pipeline_dispatch(tiny_checkpoint):
+    from rollingdepth_tpu.io.pretrained import load_pipeline
+    from rollingdepth_tpu.pipelines.rollingdepth import RollingDepthPipeline
+
+    pipe = load_pipeline(tiny_checkpoint, dtype="fp32")
+    assert isinstance(pipe, RollingDepthPipeline)
