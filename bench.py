@@ -40,6 +40,40 @@ def flops_per_frame(h=768, w=432, dilation_count=2, snippet_len=3, unet_steps=1)
     return enc + dilation_count * (unet_steps * unet_per_frame + dec)
 
 
+def kernel_parity_preamble():
+    """On-chip Pallas-vs-XLA parity at production shapes.
+
+    This toolchain has silently miscompiled Pallas kernels before
+    (ops/conv3x3.py); every kernel on the hot path is asserted against the
+    XLA reference ON THE REAL CHIP before anything is timed."""
+    import jax
+    import jax.numpy as jnp
+
+    from rollingdepth_tpu.ops.attention import _chunked_attention, _xla_attention
+    from rollingdepth_tpu.ops.flash_attention import flash_attention
+
+    shapes = [
+        # UNet cross-frame attention: L = n*hw at 768p level-0, d=64
+        # (dense XLA scores would be ~9.7 GB -> use the q-chunked reference)
+        ("unet_attn", (2, 15552, 5, 64), 1024, True),
+        # VAE mid-block: single head, d=512, L = 96*54
+        ("vae_mid_attn", (4, 5184, 1, 512), 512, False),
+    ]
+    for name, (b, l, h, d), block, chunk_ref in shapes:
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(17), 3)
+        q = jax.random.normal(kq, (b, l, h, d), jnp.bfloat16)
+        k = jax.random.normal(kk, (b, l, h, d), jnp.bfloat16)
+        v = jax.random.normal(kv, (b, l, h, d), jnp.bfloat16)
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=block, block_k=block), np.float32
+        )
+        ref_fn = _chunked_attention if chunk_ref else _xla_attention
+        ref = np.asarray(jax.jit(ref_fn)(q, k, v), np.float32)
+        err = np.abs(got - ref).max()
+        assert err < 3e-2, f"{name}: flash kernel diverges on-chip (max err {err})"
+        print(f"[bench] kernel parity {name}: max err {err:.2e} OK", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -53,6 +87,7 @@ def main():
     h, w = 768, 432  # 16:9 at max edge 768 (fast preset res)
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    kernel_parity_preamble()
     t0 = time.perf_counter()
     unet = UNet2DCondition(UNetConfig.sd21(in_channels=8))
     vae = AutoencoderKL(VAEConfig())

@@ -83,5 +83,14 @@ def load_params(path: str, dtype=None) -> Params:
 
 
 def cache_path(checkpoint_dir: str, subfolder: str, dtype) -> str:
-    tag = hashlib.sha1(f"{os.path.abspath(checkpoint_dir)}:{subfolder}:{dtype}".encode()).hexdigest()[:12]
+    """Cache file keyed by (path, subfolder, dtype) AND the source weight
+    files' size+mtime, so weights replaced in place invalidate the cache."""
+    key = f"{os.path.abspath(checkpoint_dir)}:{subfolder}:{dtype}"
+    sub = os.path.join(checkpoint_dir, subfolder)
+    if os.path.isdir(sub):
+        for name in sorted(os.listdir(sub)):
+            if name.endswith((".safetensors", ".bin", ".pt", ".pth", ".ckpt")):
+                st = os.stat(os.path.join(sub, name))
+                key += f":{name}:{st.st_size}:{st.st_mtime_ns}"
+    tag = hashlib.sha1(key.encode()).hexdigest()[:12]
     return os.path.join(checkpoint_dir, ".jax_cache", f"{subfolder}_{tag}.npz")

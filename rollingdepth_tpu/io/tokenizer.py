@@ -66,12 +66,25 @@ class CLIPTokenizer:
         self.model_max_length = model_max_length
         self.bos_token_id = vocab.get("<|startoftext|>")
         self.eos_token_id = vocab.get("<|endoftext|>")
-        # stdlib re has no \p classes; this matches HF's pattern behavior for
-        # ascii + unicode word chars
-        self.pat = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|\w+|\d|[^\s\w]+",
-            re.IGNORECASE | re.UNICODE,
-        )
+        # HF CLIPTokenizer pre-tokenizes with the `regex` package pattern
+        # [\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+ — letters-only runs, single
+        # number chars, punctuation runs (incl. '_').  A plain \w+|\d split
+        # diverges on letter-digit mixes ("4k", "room2") and underscores,
+        # giving different BPE ids and silently different prompt embeddings.
+        try:
+            import regex
+
+            self.pat = regex.compile(
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+                r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+                regex.IGNORECASE,
+            )
+        except ImportError:  # stdlib approximation of the \p classes
+            self.pat = re.compile(
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+                r"|[^\W\d_]+|\d|[^\s\w]+|_+",
+                re.IGNORECASE | re.UNICODE,
+            )
 
     # ------------------------------------------------------------------
     @classmethod

@@ -284,18 +284,57 @@ def downsample_conv(p: Params, x: jnp.ndarray, asymmetric_pad: bool) -> jnp.ndar
     return conv2d(p, x, stride=2, padding=pad)
 
 
+def _fold_upsample_kernel(w: jnp.ndarray):
+    """Fold a nearest-2x upsample into the following 3x3 conv.
+
+    For output parity a (row), conv3x3 over the duplicated rows reduces to a
+    2-tap conv over the ORIGINAL rows: a=0 hits rows (i-1, i) with weights
+    (w0, w1+w2); a=1 hits (i, i+1) with (w0+w1, w2) — and likewise for
+    columns.  Exact algebraic rewrite: 4 MACs/output instead of 9, and the
+    2x-resolution input tensor never materializes."""
+    r0 = jnp.stack([w[0], w[1] + w[2]])  # [2, 3, Ci, Co]
+    r1 = jnp.stack([w[0] + w[1], w[2]])
+    out = {}
+    for a, r in ((0, r0), (1, r1)):
+        out[(a, 0)] = jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1)  # [2,2,Ci,Co]
+        out[(a, 1)] = jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1)
+    return out
+
+
 def upsample_nearest_conv(p: Params, x: jnp.ndarray, output_size=None) -> jnp.ndarray:
     """Upsample2D: nearest 2x (or to an explicit size, for odd skip shapes —
-    diffusers' forward_upsample_size path) + conv3x3 (upsampling.py)."""
+    diffusers' forward_upsample_size path) + conv3x3 (upsampling.py).
+
+    The 2x path computes conv3x3(nearest_2x(x)) via four parity-decomposed
+    2x2 convs on the original grid — mathematically identical (fp32-accum
+    even slightly more accurate), 2.25x fewer MACs, and no 4x-size
+    intermediate activation in HBM.  This upsample+conv stack is ~28% of the
+    SD VAE decoder's FLOPs, the hottest block of the fast preset."""
     n, h, w, c = x.shape
     if output_size is None or output_size == (2 * h, 2 * w):
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-    else:
-        th, tw = output_size
-        # torch F.interpolate nearest: out[i] = in[floor(i * in/out)]
-        rows = jnp.floor(jnp.arange(th) * (h / th)).astype(jnp.int32)
-        cols = jnp.floor(jnp.arange(tw) * (w / tw)).astype(jnp.int32)
-        x = x[:, rows][:, :, cols]
+        kernel = p["kernel"].astype(x.dtype)
+        folded = _fold_upsample_kernel(kernel)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        outs = {}
+        for (a, b), k in folded.items():
+            # output (2i+a, 2j+b) reads padded rows (i+a, i+a+1), cols likewise
+            sl = xp[:, a : a + h + 1, b : b + w + 1, :]
+            outs[(a, b)] = jax.lax.conv_general_dilated(
+                sl, k, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        # interleave parities: [2a, 2b, N, H, W, C] -> [N, 2H, 2W, C]
+        y = jnp.stack([outs[(0, 0)], outs[(0, 1)], outs[(1, 0)], outs[(1, 1)]])
+        y = y.reshape(2, 2, n, h, w, -1).transpose(2, 3, 0, 4, 1, 5)
+        y = y.reshape(n, 2 * h, 2 * w, -1)
+        if "bias" in p:
+            y = y + p["bias"].astype(y.dtype)
+        return y
+    th, tw = output_size
+    # torch F.interpolate nearest: out[i] = in[floor(i * in/out)]
+    rows = jnp.floor(jnp.arange(th) * (h / th)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(tw) * (w / tw)).astype(jnp.int32)
+    x = x[:, rows][:, :, cols]
     return conv2d(p, x, padding=1)
 
 

@@ -84,7 +84,10 @@ def _mid_block_apply(p: Params, x: jnp.ndarray, cfg: VAEConfig) -> jnp.ndarray:
         residual = x
         hs = L.group_norm(attn["group_norm"], x, g, eps=1e-6)
         hs = hs.reshape(n, h * w, c)
-        hs = L.attention(attn, hs, heads=1, use_flash=False)
+        # auto-dispatch: Pallas flash kernel on TPU (single head, d=512 at
+        # 768p decode — the dense path materializes a [bs, hw, hw] fp32
+        # logits tensor inside the hottest phase), XLA path elsewhere
+        hs = L.attention(attn, hs, heads=1, use_flash=None)
         x = residual + hs.reshape(n, h, w, c)
     x = L.resnet_block(p["resnets"][1], x, num_groups=g, eps=1e-6)
     return x

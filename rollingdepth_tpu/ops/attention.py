@@ -75,12 +75,15 @@ def dot_product_attention(
             jax.default_backend() == "tpu"
             and q.shape[1] >= 256
             and k.shape[1] >= 256
-            and q.shape[-1] <= 256
+            and q.shape[-1] <= 512
         )
     if use_flash:
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
+        # wide heads (VAE mid-block: single head, d=512) halve the tile so
+        # q/k/v blocks + fp32 accumulator stay within the VMEM budget
+        block = 512 if q.shape[-1] > 256 else 1024
+        return flash_attention(q, k, v, scale=scale, block_q=block, block_k=block)
     # bound memory for long sequences on the non-flash path
     if q.shape[1] * k.shape[1] > 8_388_608 and q.shape[1] > 4096:
         return _chunked_attention(q, k, v, scale=scale)

@@ -242,6 +242,7 @@ class RollingDepthPipeline:
         verbose: bool = False,
         max_vae_bs: int = 4,
         unload_snippet: bool = False,
+        init_noise: Optional[np.ndarray] = None,  # [4, h, w] shared noise override
     ) -> RollingDepthOutput:
         # ---- argument validation/broadcast (reference :213-241)
         assert 1 in dilations, "dilations should include 1"
@@ -289,10 +290,17 @@ class RollingDepthPipeline:
             _sync(rgb_latent)
         timings["encode"] = time.perf_counter() - t0
 
-        # ---- shared init noise (reference :282-288 — one map for all frames)
+        # ---- shared init noise (reference :282-288 — one map for all frames);
+        # an explicit override enables cross-framework parity runs with the
+        # exact same Gaussian draw as a torch generator
         h, w = rgb_latent.shape[1:3]
-        key = jax.random.PRNGKey(0 if seed is None else seed)
-        init_noise_single = jax.random.normal(key, (h, w, 4), dtype=jnp.float32).astype(self.dtype)
+        if init_noise is not None:
+            init_noise_single = jnp.asarray(
+                np.transpose(np.asarray(init_noise, np.float32), (1, 2, 0))
+            ).astype(self.dtype)
+        else:
+            key = jax.random.PRNGKey(0 if seed is None else seed)
+            init_noise_single = jax.random.normal(key, (h, w, 4), dtype=jnp.float32).astype(self.dtype)
 
         # ---- per-dilation snippet inference (reference :356-463)
         # decoded snippets stay ON DEVICE (the reference's default
@@ -612,7 +620,14 @@ class RollingDepthPipeline:
                         )
                     )
                     cnt = cnt.at[flat_idx].add(jnp.broadcast_to(wmask, idx.shape).reshape(-1))
-                    return (acc / cnt[:, None, None, None]).astype(dtype)
+                    # frames covered by no refine window (possible with
+                    # cap_dilation=False on short clips) keep their previous
+                    # latent instead of propagating 0/0 NaNs; the reference
+                    # asserts coverage instead (rollingdepth_pipeline.py:628)
+                    cnt4 = cnt[:, None, None, None]
+                    return jnp.where(
+                        cnt4 > 0, acc / jnp.maximum(cnt4, 1.0), depth_old.astype(jnp.float32)
+                    ).astype(dtype)
 
                 return jax.lax.fori_loop(0, n_steps, step_body, depth_new)
 

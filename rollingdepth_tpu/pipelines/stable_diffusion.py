@@ -155,9 +155,13 @@ class StableDiffusionPipeline:
             # spatial scale = 2^(num VAE levels - 1); 8 for the SD VAE
             factor = 2 ** (len(self.vae.config.block_out_channels) - 1)
             h, w = height // factor, width // factor
-            latents = (
-                jax.random.normal(key, (batch, h, w, 4), jnp.float32) * float(sigmas[0])
-            ).astype(self.dtype)
+            # DPMSolverMultistep is VP-parameterized: init_noise_sigma == 1.0
+            # (diffusers pipeline_stable_diffusion.py:683 scales by 1.0), so
+            # t2i init latents are plain N(0,1) — NOT scaled by the raw
+            # k-diffusion sigma.
+            latents = jax.random.normal(key, (batch, h, w, 4), jnp.float32).astype(
+                self.dtype
+            )
 
         cond, uncond = self._embed(prompt, negative_prompt, latents.shape[0])
         latents = self._denoise(

@@ -269,6 +269,7 @@ class DPMSolverMultistepScheduler:
         num_steps: int,
         state: DPMState,
         rng: Optional[jax.Array] = None,
+        noise: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, DPMState]:
         """One multistep update at ``step_index`` (position in the full schedule).
 
@@ -276,6 +277,11 @@ class DPMSolverMultistepScheduler:
         first-order while warming up (``lower_order_nums < 1``) and at the
         final step when ``final_sigmas_type == 'zero'`` or the schedule is
         short; second-order otherwise.
+
+        SDE variants need Gaussian noise: pass either ``rng`` (one draw for
+        the whole ``model_output``) or an explicit ``noise`` array — callers
+        that split work into batches use the latter with per-item keys so
+        results do not depend on the batch split.
         """
         cfg = self.config
         sigmas = jnp.asarray(sigmas, dtype=jnp.float32)
@@ -290,9 +296,12 @@ class DPMSolverMultistepScheduler:
         m1 = state.prev_converted.astype(jnp.float32)
 
         if cfg.algorithm_type in ("sde-dpmsolver", "sde-dpmsolver++"):
-            if rng is None:
-                raise ValueError("SDE algorithm types require an explicit PRNG key")
-            noise = jax.random.normal(rng, model_output.shape, dtype=jnp.float32)
+            if noise is not None:
+                noise = noise.astype(jnp.float32)
+            elif rng is not None:
+                noise = jax.random.normal(rng, model_output.shape, dtype=jnp.float32)
+            else:
+                raise ValueError("SDE algorithm types require a PRNG key or noise")
         else:
             noise = jnp.zeros_like(m0)
 

@@ -85,7 +85,12 @@ def test_tokenizer_matches_transformers(tmp_path):
     )
     ours = CLIPTokenizer.from_pretrained(model_dir)
 
-    for text in ["", "hello world", "Hello,   WORLD!", "hello hello x", "a b c"]:
+    for text in [
+        "", "hello world", "Hello,   WORLD!", "hello hello x", "a b c",
+        # digit/underscore pre-tokenization: letters-only runs, per-digit
+        # splits, '_' as punctuation (HF pattern [\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+)
+        "4k room2 a_b", "photo_2 of 4k tv", "x_1 23abc __init__", "set 1080p60",
+    ]:
         ref = hf(text, padding="do_not_pad").input_ids
         got = ours(text, padding="do_not_pad")
         assert got == ref, f"{text!r}: {got} != {ref}"

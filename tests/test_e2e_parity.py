@@ -1,0 +1,200 @@
+"""Composed end-to-end numerical parity vs the reference torch pipeline.
+
+Runs /root/reference/rollingdepth/rollingdepth_pipeline.py (torch CPU, loaded
+directly from file as a numerical oracle) and our JAX RollingDepthPipeline on
+the SAME tiny checkpoint, same frames, same shared init-noise draw, and
+asserts the final depth maps agree — the strongest available proxy for the
+"AbsRel within 1% of the PyTorch reference" target (no real checkpoints exist
+in this environment).
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+def _stub_missing_modules():
+    """The reference module imports av (PyAV) and torchvision at top level;
+    neither is installed and neither is used on the tested path."""
+    if "av" not in sys.modules:
+        sys.modules["av"] = types.ModuleType("av")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        trf = types.ModuleType("torchvision.transforms.functional")
+
+        class InterpolationMode:  # only touched by the restore_res path
+            BILINEAR = "bilinear"
+
+        tr.InterpolationMode = InterpolationMode
+        trf.resize = None
+        tv.transforms = tr
+        tr.functional = trf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+        sys.modules["torchvision.transforms.functional"] = trf
+
+
+def load_reference_pipeline_module(torch_oracle):
+    _stub_missing_modules()
+    pkg = types.ModuleType("ref_rollingdepth")
+    pkg.__path__ = ["/root/reference/rollingdepth"]
+    sys.modules.setdefault("ref_rollingdepth", pkg)
+    name = "ref_rollingdepth.rollingdepth_pipeline"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name, "/root/reference/rollingdepth/rollingdepth_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_pipe(torch_oracle, tiny_checkpoint):
+    import torch
+    from diffusers import AutoencoderKL, DDIMScheduler, UNet2DConditionModel
+    from transformers import CLIPTextModel, CLIPTokenizer
+
+    mod = load_reference_pipeline_module(torch_oracle)
+    unet = UNet2DConditionModel.from_pretrained(tiny_checkpoint, subfolder="unet")
+    vae = AutoencoderKL.from_pretrained(tiny_checkpoint, subfolder="vae")
+    scheduler = DDIMScheduler.from_pretrained(tiny_checkpoint, subfolder="scheduler")
+    text_encoder = CLIPTextModel.from_pretrained(tiny_checkpoint, subfolder="text_encoder")
+    tokenizer = CLIPTokenizer.from_pretrained(tiny_checkpoint, subfolder="tokenizer")
+    pipe = mod.RollingDepthPipeline(
+        unet=unet.eval(), vae=vae.eval(), scheduler=scheduler,
+        text_encoder=text_encoder.eval(), tokenizer=tokenizer,
+    )
+    torch.set_grad_enabled(False)
+    return pipe
+
+
+@pytest.fixture(scope="module")
+def jax_pipe(tiny_checkpoint):
+    from rollingdepth_tpu.io.pretrained import load_pipeline
+
+    return load_pipeline(tiny_checkpoint, dtype="fp32")
+
+
+def _frames(n=8, h=32, w=32, seed=3):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n, 3, h, w).astype(np.float32) * 2 - 1).round(3)
+
+
+COALIGN = dict(num_iterations=300)
+
+
+def _run_ref(ref_pipe, frames, init_noise, refine_step=0):
+    import torch
+
+    out = ref_pipe.forward(
+        input_frames=torch.from_numpy(frames)[None],
+        dilations=[1, 2],
+        cap_dilation=False,
+        snippet_lengths=[3],
+        init_infer_steps=[1],
+        strides=[1],
+        coalign_kwargs=dict(COALIGN),
+        refine_step=refine_step,
+        refine_snippet_len=3,
+        refine_start_dilation=2,
+        generator=init_noise,  # see monkeypatched torch.randn below
+        verbose=False,
+        max_vae_bs=4,
+        unload_snippet=False,
+    )
+    return out
+
+
+def _patched_randn(torch, init_noise):
+    """Make the reference's generator-seeded randn produce our fixed noise.
+
+    Cleaner than replaying generator state: the reference draws exactly one
+    noise tensor (rollingdepth_pipeline.py:281-287); we intercept randn calls
+    whose `generator` is the fixed-noise sentinel array."""
+    real_randn = torch.randn
+
+    def randn(*shape, **kw):
+        gen = kw.get("generator")
+        if isinstance(gen, np.ndarray):
+            t = torch.from_numpy(gen)[None].to(dtype=kw.get("dtype", torch.float32))
+            assert tuple(t.shape) == tuple(shape[0] if len(shape) == 1 else shape)
+            return t
+        return real_randn(*shape, **kw)
+
+    return randn
+
+
+def test_e2e_depth_parity(ref_pipe, jax_pipe, monkeypatch):
+    """Full-stack: encode -> per-dilation 1-step snippet denoise -> decode ->
+    2000-iter-style co-align (300 iters both sides) must agree end to end."""
+    import torch
+
+    frames = _frames()
+    # tiny VAE has 2 blocks -> spatial factor 2: 32x32 frames -> 16x16 latents
+    init_noise = np.random.RandomState(7).randn(4, 16, 16).astype(np.float32)
+
+    monkeypatch.setattr(torch, "randn", _patched_randn(torch, init_noise))
+    ref_out = _run_ref(ref_pipe, frames, init_noise, refine_step=0)
+    ref_depth = ref_out.depth_pred.squeeze(0).numpy()  # [N, 1, H, W]
+
+    jax_out = jax_pipe.forward(
+        input_frames=frames,
+        dilations=[1, 2],
+        cap_dilation=False,
+        snippet_lengths=[3],
+        init_infer_steps=[1],
+        strides=[1],
+        coalign_kwargs=dict(COALIGN),
+        refine_step=0,
+        max_vae_bs=4,
+        init_noise=init_noise,
+    )
+    jax_depth = jax_out.depth_pred  # [N, 1, H, W]
+
+    assert ref_depth.shape == jax_depth.shape
+    # both renormalized to [-1, 1]; require tight pointwise agreement
+    diff = np.abs(ref_depth - jax_depth)
+    corr = np.corrcoef(ref_depth.ravel(), jax_depth.ravel())[0, 1]
+    assert corr > 0.999, f"corr={corr}"
+    assert diff.max() < 2e-2, f"max diff {diff.max()} (mean {diff.mean()})"
+
+
+def test_e2e_depth_parity_with_refine(ref_pipe, jax_pipe, monkeypatch):
+    """Same composition plus the rolling refinement loop (refine_step=2)."""
+    import torch
+
+    frames = _frames(seed=4)
+    init_noise = np.random.RandomState(11).randn(4, 16, 16).astype(np.float32)
+
+    monkeypatch.setattr(torch, "randn", _patched_randn(torch, init_noise))
+    ref_out = _run_ref(ref_pipe, frames, init_noise, refine_step=2)
+    ref_depth = ref_out.depth_pred.squeeze(0).numpy()
+
+    jax_out = jax_pipe.forward(
+        input_frames=frames,
+        dilations=[1, 2],
+        cap_dilation=False,
+        snippet_lengths=[3],
+        init_infer_steps=[1],
+        strides=[1],
+        coalign_kwargs=dict(COALIGN),
+        refine_step=2,
+        refine_snippet_len=3,
+        refine_start_dilation=2,
+        max_vae_bs=4,
+        init_noise=init_noise,
+    )
+    jax_depth = jax_out.depth_pred
+
+    assert ref_depth.shape == jax_depth.shape
+    corr = np.corrcoef(ref_depth.ravel(), jax_depth.ravel())[0, 1]
+    diff = np.abs(ref_depth - jax_depth)
+    assert corr > 0.999, f"corr={corr}"
+    assert diff.max() < 3e-2, f"max diff {diff.max()} (mean {diff.mean()})"

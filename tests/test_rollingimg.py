@@ -100,6 +100,32 @@ def test_relight_deterministic(tiny_relight):
     np.testing.assert_array_equal(a.R_pred, b.R_pred)
 
 
+def test_relight_independent_of_snippet_batch(tiny_relight):
+    """SDE step noise is keyed by global frame/snippet ids, so results must
+    not change with the snippet_batch chunking (seed-12345 reproducibility
+    semantics of the reference, rollingimg_pipeline.py:1148-1162)."""
+    fg, bg = _frames(), _frames(seed=1)
+    out_a = tiny_relight.forward(fg, bg, dilations=[1], init_mode="t2i", seed=5)
+    old = tiny_relight.snippet_batch
+    try:
+        tiny_relight.snippet_batch = 3
+        out_b = tiny_relight.forward(fg, bg, dilations=[1], init_mode="t2i", seed=5)
+    finally:
+        tiny_relight.snippet_batch = old
+    np.testing.assert_allclose(
+        out_a.snippet_ls[0], out_b.snippet_ls[0], atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(out_a.R_pred, out_b.R_pred, atol=1e-4)
+
+
+def test_relight_strides_validation(tiny_relight):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        tiny_relight.forward(_frames(), _frames(seed=1), dilations=[1],
+                             strides=[2], init_mode="shared_noise")
+
+
 def test_resize_frames():
     f = _frames(n=2, h=20, w=30)
     out = resize_frames(f, 16, 12)

@@ -65,6 +65,22 @@ def test_t2i_latents_and_determinism(tiny_sd):
     assert np.abs(a - c).max() > 1e-4
 
 
+def test_t2i_init_latents_are_unit_variance(tiny_sd, monkeypatch):
+    """DPM-Multistep is VP-parameterized (init_noise_sigma == 1.0): t2i init
+    latents must be plain N(0,1), not scaled by the raw Karras sigma (~15-25x)."""
+    captured = {}
+    orig = tiny_sd._denoise
+
+    def spy(latents, *a, **k):
+        captured["std"] = float(jnp.std(latents.astype(jnp.float32)))
+        return orig(latents, *a, **k)
+
+    monkeypatch.setattr(tiny_sd, "_denoise", spy)
+    tiny_sd("x", height=32, width=32, num_inference_steps=2, seed=3,
+            output_latents=True)
+    assert 0.7 < captured["std"] < 1.3, captured
+
+
 def test_img2img(tiny_sd):
     rng = np.random.RandomState(0)
     src = rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1

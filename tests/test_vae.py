@@ -93,3 +93,21 @@ def test_vae_odd_spatial_dims(tiny_pair):
         ref = tvae.quant_conv(tvae.encoder(torch.from_numpy(x))).numpy()
     out = ours.encode_moments(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_folded_upsample_conv_matches_explicit():
+    """The parity-decomposed upsample+conv (layers.upsample_nearest_conv 2x
+    path) must equal explicit nearest-2x followed by conv3x3(pad=1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rollingdepth_tpu.models import layers as L
+
+    for h, w, ci, co in [(5, 7, 8, 16), (8, 8, 16, 8), (3, 4, 4, 4)]:
+        p = L.conv2d_init(jax.random.PRNGKey(h * w), ci, co, 3)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, ci))
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        ref = L.conv2d(p, up, padding=1)
+        got = L.upsample_nearest_conv(p, x)
+        assert got.shape == ref.shape
+        assert float(jnp.abs(ref - got).max()) < 1e-5
