@@ -140,4 +140,11 @@ def load_pipeline(checkpoint_dir: str, dtype="fp16", **kwargs):
         from .pretrained_relight import load_relight_pipeline
 
         return load_relight_pipeline(checkpoint_dir, dtype=dtype, **kwargs)
+    if class_name == "MyRollingDepthPipeline":
+        from ..pipelines.my_rollingdepth import MyRollingDepthPipeline
+        from .pretrained_relight import load_relight_pipeline
+
+        return load_relight_pipeline(
+            checkpoint_dir, dtype=dtype, pipeline_cls=MyRollingDepthPipeline, **kwargs
+        )
     raise ValueError(f"Unknown pipeline class {class_name!r} in {index_path}")

@@ -88,8 +88,12 @@ def load_relight_pipeline(
     rmbg_dir: Optional[str] = None,
     dtype="fp16",
     snippet_batch: int = 4,
+    pipeline_cls=None,
 ):
     from ..pipelines.rollingimg import RollingImgPipeline
+
+    if pipeline_cls is None:
+        pipeline_cls = RollingImgPipeline
 
     jdtype = DTYPE_MAP[str(dtype)] if isinstance(dtype, str) else dtype
     if iclight_offset_path is None:
@@ -111,7 +115,7 @@ def load_relight_pipeline(
     import jax
 
     text_apply = jax.jit(lambda ids: text_model.apply(text_params, ids))
-    return RollingImgPipeline(
+    return pipeline_cls(
         unet, unet_params, vae, vae_params, scheduler, tokenizer,
         text_apply,
         base_unet_params=base_params, base_unet=base_unet,

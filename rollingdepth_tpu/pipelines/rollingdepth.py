@@ -105,14 +105,29 @@ def _sync(x: jnp.ndarray) -> None:
     np.asarray(jax.device_get(x.ravel()[0]))
 
 
-def _fetch_f32(x: jnp.ndarray) -> np.ndarray:
+def _fetch_f32(x: jnp.ndarray, streams: int = 4) -> np.ndarray:
     """Device -> host of a [-1, 1] map as uint16, dequantized to f32.
 
     Quarter the transfer bytes of f32 (the dominant cost on narrow
     interconnects) at a quantization error of 3e-5 — 16x more precise than
-    an fp16 fetch near |x|=1."""
+    an fp16 fetch near |x|=1.  The transfer is split across ``streams``
+    concurrent fetches: narrow transports (the dev tunnel measures
+    ~14-19 MB/s per stream but ~2.5-3x that with 4 parallel streams)
+    are per-stream bound, while on-host transports are unaffected."""
     q = jnp.clip((x.astype(jnp.float32) + 1.0) * (65535.0 / 2.0), 0, 65535)
-    host = np.asarray(jnp.round(q).astype(jnp.uint16))
+    dev = jnp.round(q).astype(jnp.uint16)
+    n = dev.shape[0]
+    if streams <= 1 or n < streams:
+        host = np.asarray(dev)
+    else:
+        import concurrent.futures
+
+        bounds = np.linspace(0, n, streams + 1).astype(int)
+        with concurrent.futures.ThreadPoolExecutor(streams) as pool:
+            parts = list(
+                pool.map(lambda se: np.asarray(dev[se[0] : se[1]]), zip(bounds[:-1], bounds[1:]))
+            )
+        host = np.concatenate(parts, axis=0)
     return host.astype(np.float32) * (2.0 / 65535.0) - 1.0
 
 
