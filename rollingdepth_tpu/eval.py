@@ -26,6 +26,10 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# vendored eval manifests (copied from the reference's data_split/, C14):
+# scannet 99x90f, bonn_rgbd 5x110f, pointodyssey 250f masked, dydtof sub16
+DEFAULT_SPLIT_DIR = os.path.join(os.path.dirname(__file__), "..", "data_split")
+
 # GT depth decoding: uint16 PNG value -> meters
 DATASET_DEPTH_SCALE = {
     "scannet": 1000.0,
@@ -146,7 +150,7 @@ def evaluate_sequence(
 
 def evaluate_dataset(
     pipeline,
-    split_dir: str,
+    split_dir: Optional[str],
     data_root: str,
     dataset: str,
     processing_res: int = 768,
@@ -154,6 +158,8 @@ def evaluate_dataset(
     **pipe_kwargs,
 ) -> Dict[str, float]:
     """Run the pipeline over every manifest in a split and average metrics."""
+    if split_dir is None:
+        split_dir = os.path.join(DEFAULT_SPLIT_DIR, dataset)
     scale = DATASET_DEPTH_SCALE.get(dataset, 1000.0)
     manifests = list_manifests(split_dir)
     if max_sequences:

@@ -78,7 +78,7 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
-def flash_attention(
+def _flash_attention_impl(
     q: jnp.ndarray,  # [B, L_q, H, D]
     k: jnp.ndarray,  # [B, L_k, H, D]
     v: jnp.ndarray,  # [B, L_k, H, D]
@@ -124,3 +124,70 @@ def flash_attention(
 
     out = out[:, :l_q, :].reshape(b, h, l_q, d).transpose(0, 2, 1, 3)
     return out
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper
+# ---------------------------------------------------------------------------
+
+
+def _attention_remat_reference(q, k, v, scale, block_q):
+    """Query-blocked reference attention, rematerialized per block.
+
+    Mathematically the same function as the flash kernel; written so its XLA
+    autodiff keeps only O(block_q * L_k) live — ``jax.checkpoint`` makes the
+    reverse pass recompute per-block probabilities instead of storing them."""
+    b, l_q, h, d = q.shape
+    scale = d**-0.5 if scale is None else scale
+    pad = (-l_q) % block_q
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else q
+    qb = qp.reshape(b, -1, block_q, h, d).transpose(1, 0, 2, 3, 4)
+
+    @jax.checkpoint
+    def one_block(qc):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qc, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * scale, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+
+    out = jax.lax.map(one_block, qb)
+    out = out.transpose(1, 0, 2, 3, 4).reshape(b, -1, h, d)
+    return out[:, :l_q]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with a memory-bounded backward pass.
+
+    Forward: the Pallas online-softmax kernel.  Backward: VJP of the
+    rematerialized blocked reference (same math), so ``jax.grad`` through the
+    UNet works at training shapes without an O(L^2) residual
+    (VERDICT r1: training at seq>=256 on TPU auto-selects flash)."""
+    return _flash_attention_impl(
+        q, k, v, scale=scale, block_q=block_q, block_k=block_k, interpret=interpret
+    )
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out = _flash_attention_impl(
+        q, k, v, scale=scale, block_q=block_q, block_k=block_k, interpret=interpret
+    )
+    return out, (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _attention_remat_reference(q, k, v, scale, block_q), q, k, v
+    )
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -65,7 +65,7 @@ class ICLightPassthroughPipeline:
         snippet_rgb_ls = []
         for d in dilations:
             idx = snippet_index_matrix(seq_len, snippet_length, d)
-            _ = pipe._infer_snippets(rgb_latent, noise, idx, init_infer_steps, max_vae_bs)
+            _ = pipe._infer_snippets(rgb_latent, noise, idx, init_infer_steps)
             # gen-2 decodes the rgb snippet latents (:528-541)
             snippets = jnp.take(rgb_latent, jnp.asarray(idx), axis=0)  # [S, n, h, w, 4]
             flat = snippets.reshape((-1,) + snippets.shape[2:])

@@ -88,3 +88,30 @@ def test_pallas_conv3x3_db_importable():
     from rollingdepth_tpu.ops.conv3x3 import conv3x3_same_db
 
     assert callable(conv3x3_same_db)
+
+
+def test_flash_attention_gradients():
+    """Custom VJP: grads through the flash kernel (interpret mode) must match
+    grads of the XLA reference at a seq>=256 training shape."""
+    import jax
+
+    from rollingdepth_tpu.ops.attention import _xla_attention
+    from rollingdepth_tpu.ops.flash_attention import flash_attention
+
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(5), 4)
+    shape = (1, 384, 2, 8)
+    q = jax.random.normal(kq, shape, jnp.float32)
+    k = jax.random.normal(kk, shape, jnp.float32)
+    v = jax.random.normal(kv, shape, jnp.float32)
+    cot = jax.random.normal(kg, shape, jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None, 128, 128, True) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v) * cot)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)

@@ -12,7 +12,10 @@ from rollingdepth_tpu.eval import (
     load_manifest,
 )
 
-SPLIT_DIR = "/root/reference/data_split"
+# vendored into this repo (C14); self-contained for eval
+import rollingdepth_tpu.eval as _eval_mod
+
+SPLIT_DIR = _eval_mod.DEFAULT_SPLIT_DIR
 
 
 def test_manifest_parsing_real_splits():
@@ -96,3 +99,31 @@ def test_phase_timer():
         pass
     assert "a" in t.timings and t.timings["a"] >= 0
     assert "total=" in t.summary()
+
+
+def test_gt_depth_scale_roundtrip(tmp_path):
+    """Synthetic uint16 GT PNG round-trip: encode meters at the dataset scale,
+    load via load_gt_depths, recover meters; then a scaled prediction must
+    evaluate to ~zero AbsRel — validates DATASET_DEPTH_SCALE plumbing."""
+    import cv2
+
+    from rollingdepth_tpu.eval import (
+        DATASET_DEPTH_SCALE,
+        EvalSample,
+        load_gt_depths,
+    )
+
+    rng = np.random.RandomState(3)
+    meters = rng.rand(24, 32).astype(np.float32) * 4.0 + 0.5  # 0.5-4.5 m
+    for dataset, scale in DATASET_DEPTH_SCALE.items():
+        png = (meters * scale).round().astype(np.uint16)
+        p = str(tmp_path / f"{dataset}.png")
+        assert cv2.imwrite(p, png)
+        sample = EvalSample(rgb_paths=[], depth_paths=[p], name=dataset)
+        loaded = load_gt_depths(sample, scale)[0]
+        # quantization error bounded by 0.5/scale meters
+        assert np.abs(loaded - meters).max() <= 0.5 / scale + 1e-6
+
+        pred = (meters * 2.0 + 0.1)[None]  # affine-distorted prediction
+        m = evaluate_sequence(pred, [loaded])
+        assert m["abs_rel"] < 2e-3, (dataset, m)

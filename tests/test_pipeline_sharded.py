@@ -56,3 +56,25 @@ def test_dp_sharded_refine_matches_single_device():
     np.testing.assert_allclose(
         out_single.depth_pred, out_sharded.depth_pred, rtol=5e-3, atol=5e-3
     )
+
+
+def test_tp_sharded_inference_matches_single_device():
+    """dp+tp inference: Megatron-split attention/MLP params (GSPMD-managed
+    tp axis inside the dp shard_map) must reproduce single-device outputs."""
+    from rollingdepth_tpu.parallel.sharding import shard_params
+
+    frames = np.random.RandomState(2).rand(8, 3, 32, 32).astype(np.float32) * 2 - 1
+
+    single = _build(mesh=None)
+    out_single = single.forward(frames, dilations=[1, 2], seed=7)
+
+    mesh = make_mesh(shape=(2, 4))  # tp=4: tiny UNet inner dims divisible
+    sharded = _build(mesh=mesh)
+    sharded.unet_params = shard_params(sharded.unet_params, mesh)
+    out_sharded = sharded.forward(frames, dilations=[1, 2], seed=7)
+
+    for a, b in zip(out_single.snippet_ls, out_sharded.snippet_ls):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        out_single.depth_pred, out_sharded.depth_pred, rtol=5e-3, atol=5e-3
+    )
