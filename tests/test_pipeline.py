@@ -98,3 +98,20 @@ def test_iclight_passthrough_pipeline(tiny_pipeline):
     assert out.shape == (6, 3, 32, 32)
     assert np.isfinite(out).all()
     assert out.min() >= -1.001 and out.max() <= 1.001
+
+
+def test_pipeline_device_input_and_deferred_fetch(tiny_pipeline):
+    """Pipelined-serving path: a device-resident uint8 clip (upload done by
+    the caller, e.g. while the previous clip computed) plus
+    ``fetch_output=False`` must produce the exact same depth as the plain
+    host-roundtrip call once fetched with ``fetch_depth``."""
+    from rollingdepth_tpu.pipelines.rollingdepth import _upload
+
+    frames8 = (np.random.RandomState(3).rand(8, 3, 32, 32) * 255).astype(np.uint8)
+    ref = tiny_pipeline.forward(frames8, dilations=[1], seed=0)
+    out = tiny_pipeline.forward(
+        _upload(frames8), dilations=[1], seed=0, fetch_output=False
+    )
+    assert not isinstance(out.depth_pred, np.ndarray)  # still on device
+    got = RollingDepthPipeline.fetch_depth(out.depth_pred)
+    np.testing.assert_allclose(got, ref.depth_pred, atol=1e-6)
