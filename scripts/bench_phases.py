@@ -25,14 +25,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    """True device sync via a scalar fetch — block_until_ready is a no-op on
+    some remote transports (same trick as pipelines/rollingdepth._sync)."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
 def timeit(fn, *args, iters=3, warmup=1):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -98,19 +105,28 @@ def bench_attn():
         v = jax.random.normal(kv, (b, l, hh, d), jnp.bfloat16)
         flops = 4 * b * hh * l * l * d  # qk + pv
 
-        dt = timeit(lambda q, k, v: flash_attention(q, k, v, None, blk, blk), q, k, v)
+        dt = timeit(
+            lambda q, k, v: flash_attention(q, k, v, None, blk, blk), q, k, v,
+            iters=10,
+        )
         print(f"ours  flash [{b}x{l}x{hh}x{d}]: {dt*1e3:.1f} ms  {flops/dt/1e12:.1f} TF/s")
 
-        # jax library kernel wants [b, h, l, d]
-        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        # jax library kernel wants [b, h, l, d] and L % block == 0 (pad with
+        # zero keys — changes the math slightly, fine for a speed comparison)
+        lp = (l + 511) // 512 * 512
+        pad = ((0, 0), (0, lp - l), (0, 0), (0, 0))
+        qt, kt, vt = (
+            jnp.pad(x, pad).transpose(0, 2, 1, 3) for x in (q, k, v)
+        )
         try:
             jfn = jax.jit(
                 lambda q, k, v: jfa.flash_attention(
                     q, k, v, causal=False, sm_scale=float(d) ** -0.5
                 )
             )
-            dt = timeit(jfn, qt, kt, vt)
-            print(f"jaxlib flash [{b}x{l}x{hh}x{d}]: {dt*1e3:.1f} ms  {flops/dt/1e12:.1f} TF/s")
+            dt = timeit(jfn, qt, kt, vt, iters=10)
+            jflops = 4 * b * hh * lp * lp * d
+            print(f"jaxlib flash [{b}x{lp}x{hh}x{d}]: {dt*1e3:.1f} ms  {jflops/dt/1e12:.1f} TF/s")
         except Exception as e:
             print(f"jaxlib flash failed: {type(e).__name__}: {str(e)[:200]}")
 
