@@ -81,9 +81,14 @@ def dot_product_attention(
         from .flash_attention import flash_attention
 
         # wide heads (VAE mid-block: single head, d=512) halve the tile so
-        # q/k/v blocks + fp32 accumulator stay within the VMEM budget
-        block = 512 if q.shape[-1] > 256 else 1024
-        return flash_attention(q, k, v, scale=scale, block_q=block, block_k=block)
+        # q/k/v blocks + fp32 accumulator stay within the VMEM budget;
+        # narrow heads take a 2048-deep k block (fewer online-softmax
+        # rescales, measured fastest at the UNet d=64 shape)
+        if q.shape[-1] > 256:
+            bq, bk = 512, 512
+        else:
+            bq, bk = 1024, 2048
+        return flash_attention(q, k, v, scale=scale, block_q=bq, block_k=bk)
     # bound memory for long sequences on the non-flash path
     if q.shape[1] * k.shape[1] > 8_388_608 and q.shape[1] > 4096:
         return _chunked_attention(q, k, v, scale=scale)

@@ -11,6 +11,20 @@ Kernel layout: grid (batch*heads, q_blocks, k_blocks) with the k axis
 innermost; running max / normalizer / accumulator live in VMEM scratch and
 persist across the k iterations (TPU grid execution is sequential
 minor-to-major), initialized at k==0 and finalized at the last k block.
+
+Softmax-cost engineering (measured on v5e at the production UNet shape
+[2,15552,5,64]: 40 -> 55 TF/s):
+- log2-domain softmax: ``log2(e)`` folds into the qk scale so probabilities
+  are ``exp2(s - m)`` — drops the per-element multiply hidden inside
+  ``exp`` (exp lowers to mul+exp2 on the VPU).
+- for d < 128 the row-sum is folded into the PV matmul by appending
+  all-ones columns to v: the sum rides the N<128 MXU lanes that a d=64
+  head wastes anyway, eliminating a [BQ, BK] VPU reduction per step.
+- ``subs`` k-sub-blocks per body give the scheduler independent qk matmuls
+  to overlap with the previous sub-block's VPU softmax (the kernel is
+  roughly half-MXU half-VPU bound at d=64: qk contracts only 64 lanes and
+  pv writes only 64, so MXU peak is ~98 TF/s and the VPU exp stream is
+  ~3 ms per 2.4e9 scores).
 """
 
 from __future__ import annotations
@@ -24,9 +38,67 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, l_k, block_k):
+def _flash_kernel_packed(
+    q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, scale, l_k, block_k, subs, d
+):
+    """d < 128: ones-column sum fusion; acc[:, d] holds the normalizer."""
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    sub = block_k // subs
+    ss = []
+    for j in range(subs):
+        k = k_ref[0, j * sub : (j + 1) * sub]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale  # log2 domain: scale includes log2(e)
+        if l_k % block_k != 0:
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + ik * block_k
+                + j * sub
+            )
+            s = jnp.where(col < l_k, s, NEG_INF)
+        ss.append(s)
+
+    m_prev = m_ref[:, :1]
+    m_new = m_prev
+    for s in ss:
+        m_new = jnp.maximum(m_new, jnp.max(s, axis=-1, keepdims=True))
+    corr = jnp.exp2(m_prev - m_new)
+    m_ref[:, :1] = m_new
+
+    acc = acc_ref[:] * corr
+    for j, s in enumerate(ss):
+        p = jnp.exp2(s - m_new)
+        v = v_ref[0, j * sub : (j + 1) * sub]
+        ones = jnp.ones((sub, 128 - d), v.dtype)
+        vv = jnp.concatenate([v, ones], axis=1)  # [sub, 128]
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), vv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:] = acc
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:, :d] / acc_ref[:, d : d + 1]).astype(o_ref.dtype)
+
+
+def _flash_kernel_wide(
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, l_k, block_k
+):
+    """d >= 128 (VAE mid-block single head): explicit normalizer scratch."""
     ik = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -41,18 +113,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, l
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale  # [BQ, BK]
+    s = s * scale  # log2 domain
 
-    # mask out zero-padded key positions in the final k block
     if l_k % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
         s = jnp.where(col < l_k, s, NEG_INF)
 
-    m_prev = m_ref[:, :1]  # [BQ, 1]
+    m_prev = m_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # [BQ, BK]
-    corr = jnp.exp(m_prev - m_new)  # [BQ, 1]
+    p = jnp.exp2(s - m_new)
+    corr = jnp.exp2(m_prev - m_new)
 
     l_ref[:, :1] = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:, :1] = m_new
@@ -84,15 +155,17 @@ def _flash_attention_impl(
     v: jnp.ndarray,  # [B, L_k, H, D]
     scale: Optional[float] = None,
     block_q: int = 1024,
-    block_k: int = 1024,
+    block_k: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, l_q, h, d = q.shape
     l_k = k.shape[1]
     if scale is None:
         scale = d**-0.5
+    scale = scale * LOG2E  # kernels run the softmax in the log2 domain
     block_q = min(block_q, max(128, l_q))
     block_k = min(block_k, max(128, l_k))
+    subs = 2 if (d < 128 and block_k >= 1024) else 1
 
     # [B*H, L, D] layout, pad L to block multiples
     def fold(x):
@@ -104,8 +177,26 @@ def _flash_attention_impl(
     lq_pad, lk_pad = qf.shape[1], kf.shape[1]
 
     grid = (b * h, lq_pad // block_q, lk_pad // block_k)
+    if d < 128:
+        kernel = functools.partial(
+            _flash_kernel_packed, scale=scale, l_k=l_k, block_k=block_k,
+            subs=subs, d=d,
+        )
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max (log2)
+            pltpu.VMEM((block_q, 128), jnp.float32),  # acc[:, :d] out, [:, d] sum
+        ]
+    else:
+        kernel = functools.partial(
+            _flash_kernel_wide, scale=scale, l_k=l_k, block_k=block_k
+        )
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max (log2)
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+        ]
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, l_k=l_k, block_k=block_k),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
@@ -114,11 +205,7 @@ def _flash_attention_impl(
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
-            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qf, kf, vf)
 
@@ -161,7 +248,7 @@ def flash_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     block_q: int = 1024,
-    block_k: int = 1024,
+    block_k: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention with a memory-bounded backward pass.
