@@ -360,11 +360,30 @@ class RollingDepthPipeline:
         # final vae_bs multiple
         lat_ls: List[jnp.ndarray] = []
         shapes: List[Tuple[int, int]] = []
-        for dilation, snip_len, infer_steps in zip(dilations, snippet_lengths, init_infer_steps):
-            idx = snippet_index_matrix(seq_len, snip_len, dilation)
-            lat = self._infer_snippets(rgb_latent, init_noise_single, idx, infer_steps)
-            lat_ls.append(lat.reshape((-1,) + lat.shape[2:]))
-            shapes.append((lat.shape[0], lat.shape[1]))
+        idx_ls = [
+            snippet_index_matrix(seq_len, snip_len, dilation)
+            for dilation, snip_len in zip(dilations, snippet_lengths)
+        ]
+        if len(set(snippet_lengths)) == 1 and len(set(init_infer_steps)) == 1:
+            # all dilation passes share (snippet_len, steps) — true for every
+            # preset — so their snippets are interchangeable work items: run
+            # them as ONE batched denoise (uniform chunking instead of a
+            # short tail pass per dilation, and a single UNet program)
+            idx_all = np.concatenate(idx_ls, axis=0)
+            lat_all = self._infer_snippets(
+                rgb_latent, init_noise_single, idx_all, init_infer_steps[0]
+            )
+            ofs = 0
+            for idx in idx_ls:
+                lat = lat_all[ofs : ofs + idx.shape[0]]
+                ofs += idx.shape[0]
+                lat_ls.append(lat.reshape((-1,) + lat.shape[2:]))
+                shapes.append((lat.shape[0], lat.shape[1]))
+        else:
+            for idx, infer_steps in zip(idx_ls, init_infer_steps):
+                lat = self._infer_snippets(rgb_latent, init_noise_single, idx, infer_steps)
+                lat_ls.append(lat.reshape((-1,) + lat.shape[2:]))
+                shapes.append((lat.shape[0], lat.shape[1]))
         depth_flat = self._decode_depth(jnp.concatenate(lat_ls, axis=0), max_vae_bs)
         snippet_ls: List[jnp.ndarray] = []
         ofs = 0

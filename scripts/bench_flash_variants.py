@@ -190,6 +190,96 @@ def flash_fused(q, k, v, block_q=1024, block_k=1024, subs=1):
     return out[:, :l_q, :].reshape(b, h, l_q, d).transpose(0, 2, 1, 3)
 
 
+def _kernel_bf16(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, scale, l_k, block_k, subs, d):
+    """Like fused, but scores stay bf16 through max/sub/exp2 (halves VPU
+    element traffic). Running max/normalizer/acc stay fp32."""
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    sub = block_k // subs
+    ss = []
+    for j in range(subs):
+        k = k_ref[0, j * sub : (j + 1) * sub]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)  # q is pre-scaled outside the kernel
+        if l_k % block_k != 0:
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + ik * block_k + j * sub
+            )
+            s = jnp.where(col < l_k, s, jnp.bfloat16(-3e38))
+        ss.append(s)
+
+    m_prev = m_ref[:, :1]
+    m_new = m_prev
+    for s in ss:
+        m_new = jnp.maximum(
+            m_new, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
+        )
+    corr = jnp.exp2(m_prev - m_new)
+    m_ref[:, :1] = m_new
+
+    acc = acc_ref[:] * corr
+    m16 = m_new.astype(jnp.bfloat16)
+    for j, s in enumerate(ss):
+        p = jnp.exp2(s - m16)
+        v = v_ref[0, j * sub : (j + 1) * sub]
+        ones = jnp.ones((sub, 128 - d), v.dtype)
+        vv = jnp.concatenate([v, ones], axis=1)
+        acc = acc + jax.lax.dot_general(
+            p, vv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:] = acc
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:, :d] / acc_ref[:, d : d + 1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "subs"))
+def flash_bf16(q, k, v, block_q=1024, block_k=2048, subs=2):
+    b, l_q, h, d = q.shape
+    l_k = k.shape[1]
+    scale = (d ** -0.5) * 1.4426950408889634
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # prescale: drops a [BQ,BK] mul
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf = _pad_to(fold(q), 1, block_q)
+    kf = _pad_to(fold(k), 1, block_k)
+    vf = _pad_to(fold(v), 1, block_k)
+    lq_pad, lk_pad = qf.shape[1], kf.shape[1]
+
+    grid = (b * h, lq_pad // block_q, lk_pad // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_bf16, scale=scale, l_k=l_k, block_k=block_k, subs=subs, d=d
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+    )(qf, kf, vf)
+    return out[:, :l_q, :].reshape(b, h, l_q, d).transpose(0, 2, 1, 3)
+
+
 def _sync(out):
     np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[0]))
 
@@ -213,13 +303,17 @@ def main():
     v = jax.random.normal(kv, (b, l, h, d), jnp.bfloat16)
     flops = 4 * b * h * l * l * d
 
-    ref = None
-    for bq, bk in [(1024, 1024), (512, 1024), (1024, 2048), (512, 2048)]:
+    ref = np.asarray(
+        jax.jit(
+            lambda q, k, v: flash_fused(q, k, v, 1024, 2048, 2)
+        )(q, k, v),
+        np.float32,
+    )
+    for bq, bk in [(1024, 2048), (512, 2048), (1024, 4096)]:
         for name, fn in [
-            ("exp2   ", lambda q, k, v: flash_exp2(q, k, v, bq, bk)),
-            ("fused/1", lambda q, k, v: flash_fused(q, k, v, bq, bk, 1)),
             ("fused/2", lambda q, k, v: flash_fused(q, k, v, bq, bk, 2)),
-            ("fused/4", lambda q, k, v: flash_fused(q, k, v, bq, bk, 4)),
+            ("bf16/2 ", lambda q, k, v: flash_bf16(q, k, v, bq, bk, 2)),
+            ("bf16/4 ", lambda q, k, v: flash_bf16(q, k, v, bq, bk, 4)),
         ]:
             try:
                 out = fn(q, k, v)
