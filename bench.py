@@ -38,14 +38,30 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def flops_per_frame(h=768, w=432, dilation_count=2, snippet_len=3, unet_steps=1):
-    """Analytic FLOP model of the fast preset per video frame."""
+    """Analytic FLOP model of the fast preset per video frame.
+
+    The widely quoted per-module costs (SD UNet ~680G, VAE encode ~560G,
+    decode ~1260G at 512x512) are multiply-ACCUMULATE counts; FLOPs = 2x
+    MACs.  Direct arithmetic on the SD VAE decoder confirms it: every
+    up-level costs the same per 3x3 conv (channels halve, area quadruples,
+    2*C^2*9*A is constant) — 2*512^2*9*(128*128) = 77.3 GFLOP/conv at a
+    512x512 image, ~29 conv-equivalents across mid/up0..up3/upsamplers
+    => ~2.3 TFLOP, i.e. 2 x 1.15 TMAC.  The RTX-3090 denominator below is
+    71 TFLOP/s (a FLOPs figure), so the workload must be counted in FLOPs
+    too; counting MACs would understate the workload (and this repo's
+    measured TF/s) by 2x.  Measured cross-check on v5e: the decoder runs
+    311 ms/16 frames at 768x432 = ~150 TF/s with this model — plausible
+    (76% MFU); the MAC count would imply 75 TF/s while the bare convs
+    measure 117-127 TF/s (scripts/bench_conv_shapes.py)."""
     lat_h, lat_w = h // 8, w // 8
-    # SD2 UNet forward ~= 680 GFLOP at 64x64 latent, scales with latent area
-    unet_per_frame = 680e9 * (lat_h * lat_w) / (64 * 64)
-    # SD VAE: encode ~= 560 GFLOP, decode ~= 1260 GFLOP at 512x512, scale by area
+    # SD2 UNet forward ~= 680 GMAC = 1.36 TFLOP at 64x64 latent; conv/attn
+    # cost scales with latent area (cross-frame attention grows faster, so
+    # this stays conservative)
+    unet_per_frame = 2 * 680e9 * (lat_h * lat_w) / (64 * 64)
+    # SD VAE: encode ~= 560 GMAC, decode ~= 1150 GMAC at 512x512
     vae_scale = (h * w) / (512 * 512)
-    enc = 560e9 * vae_scale
-    dec = 1260e9 * vae_scale
+    enc = 2 * 560e9 * vae_scale
+    dec = 2 * 1150e9 * vae_scale
     # per frame: 1 encode; per dilation: `unet_steps` UNet evals + 1 decode
     return enc + dilation_count * (unet_steps * unet_per_frame + dec)
 
