@@ -115,3 +115,34 @@ def test_pipeline_device_input_and_deferred_fetch(tiny_pipeline):
     assert not isinstance(out.depth_pred, np.ndarray)  # still on device
     got = RollingDepthPipeline.fetch_depth(out.depth_pred)
     np.testing.assert_allclose(got, ref.depth_pred, atol=1e-6)
+
+
+def test_dilation_batching_matches_per_dilation(tiny_pipeline):
+    """The batched all-dilations denoise (forward's concat fast path) must
+    equal running each dilation's snippet set through _infer_snippets
+    separately — the snippets are independent work items, so only chunking
+    changes."""
+    frames = _frames(n=10)
+    from rollingdepth_tpu.pipelines.snippets import snippet_index_matrix
+
+    dev = jnp.asarray(frames)
+    nhwc = jnp.transpose(dev, (0, 2, 3, 1))
+    rgb_latent = tiny_pipeline._encode_frames(nhwc, 4)
+    h, w = rgb_latent.shape[1:3]
+    noise = jax.random.normal(jax.random.PRNGKey(3), (h, w, 4), jnp.float32)
+
+    idx_ls = [snippet_index_matrix(10, 3, d) for d in (1, 3)]
+    sep = [
+        np.asarray(tiny_pipeline._infer_snippets(rgb_latent, noise, idx, 1))
+        for idx in idx_ls
+    ]
+    batched = np.asarray(
+        tiny_pipeline._infer_snippets(
+            rgb_latent, noise, np.concatenate(idx_ls, axis=0), 1
+        )
+    )
+    ofs = 0
+    for idx, ref in zip(idx_ls, sep):
+        got = batched[ofs : ofs + idx.shape[0]]
+        ofs += idx.shape[0]
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
