@@ -133,12 +133,15 @@ class DepthAligner:
             opt = optax.adam(cfg.lr, b1=0.5, b2=0.9, eps=1e-8)  # :159
 
             def loss_fn(params, flat_t, oh_t, counts):
-                s_list, t_list = params
+                # params are ONE (s, t) vector pair over all windows — like
+                # the reference's single scales/translations tensors
+                # (depth_aligner.py:155-157); groups view into it by bounds
+                s_all, t_all = params
+                s_list = [s_all[bounds[i] : bounds[i + 1]] for i in range(len(sizes))]
+                t_list = [t_all[bounds[i] : bounds[i + 1]] for i in range(len(sizes))]
                 if stacked:
                     flat_all = jnp.concatenate(flat_t, axis=0)
                     oh_all = jnp.concatenate(oh_t, axis=0)
-                    s_all = jnp.concatenate(s_list)
-                    t_all = jnp.concatenate(t_list)
                     a = flat_all * s_all[:, None, None] + t_all[:, None, None]
                     a_inv = jnp.clip(a, 1e-3, None) ** -1
                     sum_m = oh_all.T @ a.reshape(-1, p_dim)
@@ -174,6 +177,9 @@ class DepthAligner:
                     loss_inv += jnp.abs((a_inv - tgt_inv) / sc_inv).sum()
                 loss = loss_m / denom + cfg.depth_loss_weight * (loss_inv / denom)
 
+                # soft constraints are PER dilation group, then summed — the
+                # reference keeps per-group scale/translation tensors and
+                # sums per-tensor means (depth_aligner.py:150-155, 205-208)
                 soft = 0.0
                 for s, t in zip(s_list, t_list):
                     soft += cfg.lmda2 * (jnp.maximum(0.0, 1.0 - s) ** 2).mean()
@@ -182,11 +188,13 @@ class DepthAligner:
                 aux = (target.min(), target.max())
                 return total, aux
 
+            n_all = sum(sizes)
+
             @jax.jit
             def solve(flat_t, oh_t, counts):
                 params = (
-                    [jnp.ones((n,), jnp.float32) for n in sizes],
-                    [jnp.zeros((n,), jnp.float32) for n in sizes],
+                    jnp.ones((n_all,), jnp.float32),
+                    jnp.zeros((n_all,), jnp.float32),
                 )
                 state = opt.init(params)
 
@@ -206,10 +214,13 @@ class DepthAligner:
 
             _SOLVE_CACHE[key] = solve
 
-        (s_list, t_list), history = _SOLVE_CACHE[key](
+        (s_all, t_all), history = _SOLVE_CACHE[key](
             tuple(flat), tuple(onehots), counts
         )
-        return list(s_list), list(t_list), history
+        bounds = np.concatenate([[0], np.cumsum([v.shape[0] for v in flat])])
+        s_list = [s_all[bounds[i] : bounds[i + 1]] for i in range(len(flat))]
+        t_list = [t_all[bounds[i] : bounds[i + 1]] for i in range(len(flat))]
+        return s_list, t_list, history
 
     # ------------------------------------------------------------------
     def _merge(self, snippet_ls, index_mats, scales, translations, seq_len: int) -> jnp.ndarray:
