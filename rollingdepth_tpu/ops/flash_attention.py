@@ -138,6 +138,10 @@ def _flash_kernel_wide(
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _round_up(x: int, multiple: int) -> int:
+    return -(-x // multiple) * multiple
+
+
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -163,9 +167,15 @@ def _flash_attention_impl(
     if scale is None:
         scale = d**-0.5
     scale = scale * LOG2E  # kernels run the softmax in the log2 domain
-    block_q = min(block_q, max(128, l_q))
-    block_k = min(block_k, max(128, l_k))
-    subs = 2 if (d < 128 and block_k >= 1024) else 1
+    # Blocks must stay tile-aligned.  Shrinking block_k all the way to a
+    # ragged l_k (e.g. an odd 1025) both breaks the subs k-sub-slicing
+    # (2*(block_k//2) = block_k-1 keys covered, and the l_k%block_k==0 mask
+    # never fires to catch the drop) and hands Mosaic non-lane-aligned block
+    # shapes.  Round the shrunk block up to a tile multiple instead; the L
+    # padding plus the l_k mask absorb the overhang.
+    block_q = min(block_q, _round_up(max(128, l_q), 128))
+    block_k = min(block_k, _round_up(max(128, l_k), 256))
+    subs = 2 if (d < 128 and block_k >= 1024 and block_k % 256 == 0) else 1
 
     # [B*H, L, D] layout, pad L to block multiples
     def fold(x):

@@ -25,6 +25,24 @@ def test_flash_matches_xla(b, lq, lk, h, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("lq,lk", [
+    (1025, 1025),   # odd l_k in [1025, 2047]: pre-fix, block_k shrank to the
+    (2047, 2047),   # ragged length and subs=2 silently dropped the last key
+    (300, 1537),    # ragged q + multi-tile ragged k
+    (1024, 4096),   # multiple full k blocks through the packed kernel
+])
+def test_flash_packed_production_config(lq, lk):
+    """Production config — packed d<128 kernel, subs=2, PV-fused ones-column
+    normalizer, block_k>=1024, ragged last block — vs XLA (ADVICE r2)."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (1, lq, 2, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, lk, 2, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, lk, 2, 64), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    out = flash_attention(q, k, v, None, 1024, 2048, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_flash_matches_torch_sdpa(torch_oracle):
     import torch
 
