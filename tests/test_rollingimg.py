@@ -118,6 +118,48 @@ def test_relight_independent_of_snippet_batch(tiny_relight):
     np.testing.assert_allclose(out_a.R_pred, out_b.R_pred, atol=1e-4)
 
 
+def test_relight_dilation_batching_matches_per_dilation(tiny_relight):
+    """The batched multi-dilation fast path must draw the SAME SDE noise as
+    separate per-dilation passes: snippet ids restart at 0 for every
+    dilation (ADVICE r2 — seed reproducibility across both code paths)."""
+    fg, bg = _frames(n=8), _frames(n=8, seed=1)
+    from rollingdepth_tpu.pipelines.snippets import snippet_index_matrix
+
+    # batched path (shared snippet length triggers it in forward);
+    # cap_dilation=False keeps d=2 distinct (8 frames would cap it to 1)
+    out_b = tiny_relight.forward(fg, bg, dilations=[1, 2], cap_dilation=False,
+                                 init_mode="shared_noise", seed=11)
+    # per-dilation path, forced by calling _infer_snippets directly with the
+    # same preprocessing forward() does
+    fgj = jnp.asarray(fg.transpose(0, 2, 3, 1), dtype=tiny_relight.dtype)
+    bgj = jnp.asarray(bg.transpose(0, 2, 3, 1), dtype=tiny_relight.dtype)
+    cond = jnp.concatenate([tiny_relight._encode_frames(fgj, 4),
+                            tiny_relight._encode_frames(bgj, 4)], axis=-1)
+    from rollingdepth_tpu.pipelines.rollingimg import (
+        DEFAULT_A_PROMPT, DEFAULT_N_PROMPT, DEFAULT_PROMPT, encode_prompt_pair,
+    )
+
+    conds, unconds = encode_prompt_pair(
+        tiny_relight.tokenizer, tiny_relight.text_apply,
+        DEFAULT_PROMPT + ", " + DEFAULT_A_PROMPT, DEFAULT_N_PROMPT,
+    )
+    prompt_embeds = jnp.concatenate([conds, unconds], axis=1)
+    timesteps, sigmas = tiny_relight.scheduler.schedule(40)
+    t_start = 20
+    h, w = cond.shape[1:3]
+    single = jax.random.normal(jax.random.PRNGKey(11), (h, w, 4), jnp.float32)
+    init_latents = jnp.broadcast_to(single, (8, h, w, 4))
+    for di, d in enumerate([1, 2]):
+        idx = snippet_index_matrix(8, 3, d)
+        dec = tiny_relight._infer_snippets(
+            cond, init_latents, idx, prompt_embeds, timesteps[t_start:],
+            sigmas, t_start, 11, 4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec), out_b.snippet_ls[di], atol=1e-5, rtol=1e-5
+        )
+
+
 def test_relight_strides_validation(tiny_relight):
     import pytest as _pytest
 
@@ -167,14 +209,20 @@ def test_relight_dp_sharded_matches_single(tiny_relight):
     from rollingdepth_tpu.parallel.mesh import make_mesh
 
     frames_fg, frames_bg = _frames(), _frames(seed=1)
-    out_single = tiny_relight.forward(frames_fg, frames_bg, dilations=[1],
-                                      init_mode="shared_noise", seed=9)
-    tiny_relight.mesh = make_mesh(shape=(4, 2))
-    tiny_relight._jit_cache.clear()
+    # pin snippet_batch=1 so _pick_chunk yields identical chunking with and
+    # without the dp mesh — the test isolates sharding, not chunk choice
+    # (chunk invariance is test_relight_independent_of_snippet_batch)
+    old_sb = tiny_relight.snippet_batch
+    tiny_relight.snippet_batch = 1
     try:
+        out_single = tiny_relight.forward(frames_fg, frames_bg, dilations=[1],
+                                          init_mode="shared_noise", seed=9)
+        tiny_relight.mesh = make_mesh(shape=(4, 2))
+        tiny_relight._jit_cache.clear()
         out_sharded = tiny_relight.forward(frames_fg, frames_bg, dilations=[1],
                                            init_mode="shared_noise", seed=9)
     finally:
+        tiny_relight.snippet_batch = old_sb
         tiny_relight.mesh = None
         tiny_relight._jit_cache.clear()
     np.testing.assert_allclose(out_single.R_pred, out_sharded.R_pred, rtol=2e-4, atol=2e-4)
