@@ -144,6 +144,13 @@ def main():
     kwargs = dict(
         dilations=[1, 25], cap_dilation=True, refine_step=0, seed=0,
         max_vae_bs=16, fetch_output=False,
+        # fast-preset default since round 3: latent-space co-align + merge,
+        # decoding N frames once instead of every snippet frame (drift vs the
+        # reference merge bounded by tests/test_e2e_parity.py).  The
+        # vs_baseline denominator still prices the REFERENCE algorithm
+        # (decode-all-snippets) on the 3090 — beating it algorithmically at
+        # matched output quality is the point.
+        merge_in_latent=True,
     )
 
     def fetch_and_check(depth_dev):
@@ -192,6 +199,17 @@ def main():
         file=sys.stderr,
     )
 
+    # fetch-INCLUSIVE single-clip latency (ADVICE r2: report both so the
+    # steady-state protocol stays comparable across transports): one clip,
+    # compute + full uint16 depth fetch inside the timed window.  On the dev
+    # tunnel this measures tunnel weather as much as the framework; on a TPU
+    # VM the two numbers converge.
+    t0 = time.perf_counter()
+    out = pipe.forward(_upload(clips[0]), **kwargs)
+    fetch_and_check(out.depth_pred)
+    fetch_incl_fps = n_frames / (time.perf_counter() - t0)
+    print(f"[bench] fetch-inclusive single-clip {fetch_incl_fps:.2f} fps", file=sys.stderr)
+
     # 3090 estimate for the same workload (documented in module docstring)
     est_3090_fps = 71e12 * 0.40 / flops_per_frame(h, w)
     result = {
@@ -199,6 +217,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / est_3090_fps, 3),
+        "fps_fetch_inclusive": round(fetch_incl_fps, 3),
     }
     print(json.dumps(result))
 

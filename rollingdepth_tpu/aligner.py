@@ -78,13 +78,21 @@ class DepthAligner:
         self,
         snippet_ls: Sequence[jnp.ndarray],  # per dilation: [S_g, w_g, C, H, W]
         dilations: Sequence[int],
+        restore_shift: bool = False,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray], jnp.ndarray]:
         """Returns (merged [N, C, H, W], scales, translations, loss_history).
 
         ``loss_history`` is [iters, 3]: (loss, per-frame-mean min, max) per
         step, matching the tuples the reference records
         (depth_aligner.py:213).
-        """
+
+        ``restore_shift=True`` adds the solver's internal global min-shift
+        back onto the merged output, so it lives in the input's original
+        value space instead of the shifted solver space.  Depth callers
+        min-max-normalize afterwards and don't care; the latent-space merge
+        (pipelines/rollingdepth.py turbo mode) needs real latents back.
+        Aligned windows are ``s*(x - mn) + t``, so the per-frame average is
+        the shifted-space merge plus ``mn`` exactly."""
         cfg = self.config
         snippet_ls = [jnp.asarray(s, dtype=jnp.float32) for s in snippet_ls]
         w0 = snippet_ls[0].shape[1]
@@ -110,6 +118,8 @@ class DepthAligner:
             solver_views, onehots, counts, seq_len
         )
         merged = self._merge(snippet_ls, index_mats, scales, translations, seq_len)
+        if restore_shift:
+            merged = merged + mn
         return merged, scales, translations, history
 
     # ------------------------------------------------------------------
@@ -131,6 +141,11 @@ class DepthAligner:
             stacked = len(set(widths)) == 1
             bounds = np.concatenate([[0], np.cumsum(sizes)])
             opt = optax.adam(cfg.lr, b1=0.5, b2=0.9, eps=1e-8)  # :159
+            # the inverse-depth term is depth-semantic (clip(a, 1e-3)^-1
+            # assumes positive depth); latent-space solves set its weight to
+            # 0 and must not even compute it (negative latents would clip
+            # to a flat 1e-3 wall)
+            use_inv = cfg.depth_loss_weight != 0.0
 
             def loss_fn(params, flat_t, oh_t, counts):
                 # params are ONE (s, t) vector pair over all windows — like
@@ -143,38 +158,43 @@ class DepthAligner:
                     flat_all = jnp.concatenate(flat_t, axis=0)
                     oh_all = jnp.concatenate(oh_t, axis=0)
                     a = flat_all * s_all[:, None, None] + t_all[:, None, None]
-                    a_inv = jnp.clip(a, 1e-3, None) ** -1
+                    a_inv = jnp.clip(a, 1e-3, None) ** -1 if use_inv else None
                     sum_m = oh_all.T @ a.reshape(-1, p_dim)
-                    sum_inv = oh_all.T @ a_inv.reshape(-1, p_dim)
+                    sum_inv = (
+                        oh_all.T @ a_inv.reshape(-1, p_dim) if use_inv else None
+                    )
                     groups = [(a, a_inv, oh_all)]
                 else:
                     sum_m = jnp.zeros((seq_len, p_dim), jnp.float32)
-                    sum_inv = jnp.zeros((seq_len, p_dim), jnp.float32)
+                    sum_inv = jnp.zeros((seq_len, p_dim), jnp.float32) if use_inv else None
                     groups = []
                     for v, oh, s, t in zip(flat_t, oh_t, s_list, t_list):
                         a = v * s[:, None, None] + t[:, None, None]
-                        a_inv = jnp.clip(a, 1e-3, None) ** -1
+                        a_inv = jnp.clip(a, 1e-3, None) ** -1 if use_inv else None
                         sum_m = sum_m + oh.T @ a.reshape(-1, p_dim)
-                        sum_inv = sum_inv + oh.T @ a_inv.reshape(-1, p_dim)
+                        if use_inv:
+                            sum_inv = sum_inv + oh.T @ a_inv.reshape(-1, p_dim)
                         groups.append((a, a_inv, oh))
 
                 target = jax.lax.stop_gradient(sum_m / counts[:, None])
-                target_inv = jax.lax.stop_gradient(sum_inv / counts[:, None])
                 scale = jax.lax.stop_gradient(jnp.abs(target).mean(-1, keepdims=True))
-                scale_inv = jax.lax.stop_gradient(
-                    jnp.abs(target_inv).mean(-1, keepdims=True)
-                )
+                if use_inv:
+                    target_inv = jax.lax.stop_gradient(sum_inv / counts[:, None])
+                    scale_inv = jax.lax.stop_gradient(
+                        jnp.abs(target_inv).mean(-1, keepdims=True)
+                    )
 
                 loss_m = 0.0
                 loss_inv = 0.0
                 for a, a_inv, oh in groups:
                     shape = a.shape
                     tgt = (oh @ target).reshape(shape)  # gather via matmul
-                    tgt_inv = (oh @ target_inv).reshape(shape)
                     sc = (oh @ scale).reshape(shape[:2] + (1,))
-                    sc_inv = (oh @ scale_inv).reshape(shape[:2] + (1,))
                     loss_m += jnp.abs((a - tgt) / sc).sum()
-                    loss_inv += jnp.abs((a_inv - tgt_inv) / sc_inv).sum()
+                    if use_inv:
+                        tgt_inv = (oh @ target_inv).reshape(shape)
+                        sc_inv = (oh @ scale_inv).reshape(shape[:2] + (1,))
+                        loss_inv += jnp.abs((a_inv - tgt_inv) / sc_inv).sum()
                 loss = loss_m / denom + cfg.depth_loss_weight * (loss_inv / denom)
 
                 # soft constraints are PER dilation group, then summed — the

@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resample-method", type=str, default="BILINEAR",
                         choices=["BILINEAR", "NEAREST_EXACT", "BICUBIC"])
     parser.add_argument("--unload-snippet", type=str2bool, default=False)
+    parser.add_argument("--merge-in-latent", type=str2bool, default=None,
+                        dest="merge_in_latent",
+                        help="Turbo merge: co-align+merge snippet latents and decode "
+                             "N frames once (fast presets default on); false = exact "
+                             "reference decode-all-snippets merge.")
     parser.add_argument("--snippet-batch", type=int, default=8,
                         help="Snippets denoised per device step (TPU batching).")
     parser.add_argument("--verbose", action="store_true")
@@ -93,6 +98,7 @@ def resolve_args(argv=None):
             "refine_start_dilation", "dilations", "refine_step", "init_infer_steps",
             "max_vae_bs", "unload_snippet", "restore_res", "resample_method",
             "start_frame", "frame_count", "seed", "verbose", "snippet_batch",
+            "merge_in_latent",
         }
         and v is not None
     }
@@ -111,6 +117,14 @@ def run_depth(args, settings) -> None:
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     videos = enumerate_videos(args.input_video)
+
+    merge_in_latent = settings.merge_in_latent
+    if merge_in_latent and args.save_snippets:
+        # snippet predictions are a decode-all-path debug output; turbo never
+        # decodes them, so honor --save-snippets over the turbo default
+        logging.warning("--save-snippets requires the reference merge path; "
+                        "disabling merge-in-latent turbo mode.")
+        merge_in_latent = False
 
     # prefetch: decode video k+1 on a host thread while k computes
     import queue
@@ -158,6 +172,7 @@ def run_depth(args, settings) -> None:
             max_vae_bs=settings.max_vae_bs,
             unload_snippet=settings.unload_snippet,
             restore_res=settings.restore_res,
+            merge_in_latent=merge_in_latent,
         )
         save_depth_outputs(out, video_path, output_dir, args)
     logging.info("Finished. %d predictions are saved to %s", len(videos), output_dir)

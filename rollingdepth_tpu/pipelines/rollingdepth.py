@@ -105,6 +105,20 @@ def _sync(x: jnp.ndarray) -> None:
     np.asarray(jax.device_get(x.ravel()[0]))
 
 
+# Gather sources (per-frame latents) are zero-padded to a multiple of this
+# bucket, so the compute-heavy chunk programs are keyed by the BUCKET, not the
+# clip length: any clip up to 256 frames reuses one set of compiled programs
+# (the reference handles arbitrary clip lengths with zero recompilation,
+# /root/reference/run_video.py:550-585 — this is the XLA-static-shape
+# equivalent).  Latents are tiny (a 256-frame 768p source is ~11 MB bf16), so
+# the padding is free; compute-chunk sizes still track the TRUE length.
+FRAME_CAPACITY = 256
+
+
+def _capacity(n: int) -> int:
+    return FRAME_CAPACITY * (-(-n // FRAME_CAPACITY))
+
+
 def _upload(arr: np.ndarray, streams: int = 4) -> jnp.ndarray:
     """Host -> device over ``streams`` concurrent transfers (axis-0 split).
 
@@ -213,6 +227,8 @@ class RollingDepthPipeline:
         max_vae_bs: int = 4,
         unload_snippet: bool = False,
         restore_res: bool = False,
+        merge_in_latent: bool = False,
+        latent_coalign_kwargs: Optional[Dict] = None,
     ) -> RollingDepthOutput:
         if processing_res > 1024:
             logger.warning(
@@ -248,6 +264,8 @@ class RollingDepthPipeline:
             verbose=verbose,
             max_vae_bs=max_vae_bs,
             unload_snippet=unload_snippet,
+            merge_in_latent=merge_in_latent,
+            latent_coalign_kwargs=latent_coalign_kwargs,
         )
 
         if restore_res:
@@ -283,6 +301,11 @@ class RollingDepthPipeline:
         init_noise: Optional[np.ndarray] = None,  # [4, h, w] shared noise override
         fetch_output: bool = True,  # False: leave depth maps on device so a
         # pipelined caller can overlap the fetch with the next clip's compute
+        merge_in_latent: bool = False,  # TURBO: co-align + merge snippet
+        # LATENTS and decode N frames once (kills the ~3.4x snippet-decode
+        # redundancy of the reference merge); snippet_ls comes back empty
+        latent_coalign_kwargs: Optional[Dict] = None,  # AlignerConfig overrides
+        # for the latent-space solve (defaults: factor=3, depth_loss_weight=0)
     ) -> RollingDepthOutput:
         # ---- argument validation/broadcast (reference :213-241)
         assert 1 in dilations, "dilations should include 1"
@@ -353,13 +376,9 @@ class RollingDepthPipeline:
         # unload_snippet=False keeps them in VRAM, :456-458); moving them to
         # host is opt-in, exactly as upstream
         t0 = time.perf_counter()
-        # denoise every dilation pass first (latents only), then decode ALL
-        # snippet latents in one flat pass: per-chunk decode padding used to
-        # waste ~20% of decoder FLOPs (e.g. 288 decoded frames for 240 real
-        # at the fast-preset shape); the combined flat pass pads only to the
-        # final vae_bs multiple
-        lat_ls: List[jnp.ndarray] = []
-        shapes: List[Tuple[int, int]] = []
+        # denoise every dilation pass first (latents only); decoding depends
+        # on the merge mode below
+        lat_ls: List[jnp.ndarray] = []  # per dilation [S, n, h, w, 4]
         idx_ls = [
             snippet_index_matrix(seq_len, snip_len, dilation)
             for dilation, snip_len in zip(dilations, snippet_lengths)
@@ -375,39 +394,85 @@ class RollingDepthPipeline:
             )
             ofs = 0
             for idx in idx_ls:
-                lat = lat_all[ofs : ofs + idx.shape[0]]
+                lat_ls.append(lat_all[ofs : ofs + idx.shape[0]])
                 ofs += idx.shape[0]
-                lat_ls.append(lat.reshape((-1,) + lat.shape[2:]))
-                shapes.append((lat.shape[0], lat.shape[1]))
         else:
             for idx, infer_steps in zip(idx_ls, init_infer_steps):
-                lat = self._infer_snippets(rgb_latent, init_noise_single, idx, infer_steps)
-                lat_ls.append(lat.reshape((-1,) + lat.shape[2:]))
-                shapes.append((lat.shape[0], lat.shape[1]))
-        depth_flat = self._decode_depth(jnp.concatenate(lat_ls, axis=0), max_vae_bs)
-        snippet_ls: List[jnp.ndarray] = []
-        ofs = 0
-        for s_i, n_i in shapes:
-            img = depth_flat[ofs : ofs + s_i * n_i]
-            ofs += s_i * n_i
-            decoded = img.reshape(s_i, n_i, 1, *img.shape[1:]).astype(jnp.float32)
-            snippet_ls.append(np.asarray(decoded, dtype=np.float32) if unload_snippet else decoded)
-        if verbose and not unload_snippet:
-            _sync(snippet_ls[-1])
-        timings["snippet_infer"] = time.perf_counter() - t0
+                lat_ls.append(
+                    self._infer_snippets(rgb_latent, init_noise_single, idx, infer_steps)
+                )
 
-        # ---- co-alignment (reference :304-318)
-        t0 = time.perf_counter()
-        aligner = DepthAligner(AlignerConfig(**(coalign_kwargs or {})), verbose=verbose)
-        depth_coaligned, scales, translations, loss_history = aligner.run(
-            [jnp.asarray(s) for s in snippet_ls], dilations
-        )
+        if merge_in_latent:
+            # ---- TURBO: latent-space co-alignment + merge.
+            # The reference aligns and merges in decoded depth space
+            # (depth_aligner.py:231-262 applied after decode_depth,
+            # rollingdepth_pipeline.py:706-740), which decodes every snippet
+            # frame — ~3.4x the clip length at the fast preset.  Here the
+            # per-snippet (s, t) are solved over the snippet LATENTS (the
+            # solver is C-native; inverse-depth term off, finer subsample
+            # since latents are 8x smaller), overlapping windows are averaged
+            # in latent space, and the VAE decodes exactly N frames once.
+            # Accuracy drift vs the reference merge is bounded by
+            # tests/test_e2e_parity.py::test_latent_merge_close_to_reference.
+            if verbose:
+                _sync(lat_ls[-1])
+            timings["snippet_infer"] = time.perf_counter() - t0
+            snippet_ls = []  # snippets are never decoded in turbo mode
+            t0 = time.perf_counter()
+            lat_kwargs: Dict[str, Any] = {"factor": 3, "depth_loss_weight": 0.0}
+            lat_kwargs.update(latent_coalign_kwargs or {})
+            aligner = DepthAligner(AlignerConfig(**lat_kwargs), verbose=verbose)
+            lat_snips = [
+                jnp.transpose(l, (0, 1, 4, 2, 3)).astype(jnp.float32) for l in lat_ls
+            ]  # [S, n, 4, h, w]
+            merged_lat, scales, translations, loss_history = aligner.run(
+                lat_snips, dilations, restore_shift=True
+            )  # [N, 4, h, w]
+            if verbose:
+                _sync(merged_lat)
+            timings["coalign"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            depth = self._decode_depth(
+                jnp.transpose(merged_lat, (0, 2, 3, 1)).astype(self.dtype), max_vae_bs
+            )  # [N, H, W]
+            depth_coaligned = depth[:, None].astype(jnp.float32)
+            if verbose:
+                _sync(depth_coaligned)
+            timings["decode"] = time.perf_counter() - t0
+        else:
+            # decode ALL snippet latents in one flat pass: per-chunk decode
+            # padding used to waste ~20% of decoder FLOPs (e.g. 288 decoded
+            # frames for 240 real at the fast-preset shape); the combined
+            # flat pass pads only to the final vae_bs multiple
+            flat_ls = [lat.reshape((-1,) + lat.shape[2:]) for lat in lat_ls]
+            shapes = [(lat.shape[0], lat.shape[1]) for lat in lat_ls]
+            depth_flat = self._decode_depth(jnp.concatenate(flat_ls, axis=0), max_vae_bs)
+            snippet_ls = []
+            ofs = 0
+            for s_i, n_i in shapes:
+                img = depth_flat[ofs : ofs + s_i * n_i]
+                ofs += s_i * n_i
+                decoded = img.reshape(s_i, n_i, 1, *img.shape[1:]).astype(jnp.float32)
+                snippet_ls.append(
+                    np.asarray(decoded, dtype=np.float32) if unload_snippet else decoded
+                )
+            if verbose and not unload_snippet:
+                _sync(snippet_ls[-1])
+            timings["snippet_infer"] = time.perf_counter() - t0
+
+            # ---- co-alignment (reference :304-318)
+            t0 = time.perf_counter()
+            aligner = DepthAligner(AlignerConfig(**(coalign_kwargs or {})), verbose=verbose)
+            depth_coaligned, scales, translations, loss_history = aligner.run(
+                [jnp.asarray(s) for s in snippet_ls], dilations
+            )
+            if verbose:
+                _sync(depth_coaligned)
+            timings["coalign"] = time.perf_counter() - t0
+
         depth_coaligned = depth_coaligned - depth_coaligned.min()
         depth_coaligned = depth_coaligned / depth_coaligned.max()
         depth_coaligned = depth_coaligned * 2.0 - 1.0  # [N, 1, H, W]
-        if verbose:
-            _sync(depth_coaligned)
-        timings["coalign"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
         # ---- refinement (reference :323-343)
@@ -432,7 +497,7 @@ class RollingDepthPipeline:
             depth_dev = depth_coaligned  # [N, 1, H, W]
             if fetch_output:
                 depth_pred = _fetch_f32(depth_coaligned)
-            timings["fetch"] = time.perf_counter() - t0
+                timings["fetch"] = time.perf_counter() - t0
 
         if verbose:
             logger.info("phase timings: %s", {k: f"{v:.2f}s" for k, v in timings.items()})
@@ -467,88 +532,121 @@ class RollingDepthPipeline:
         return _fetch_f32(depth_dev)
 
     # ------------------------------------------------------------------
-    # jitted programs (cached per shape bucket)
+    # jitted programs — LENGTH-INDEPENDENT per-chunk compilation
+    #
+    # Every compute-heavy program below is keyed by its CHUNK shape only
+    # (plus the FRAME_CAPACITY bucket for gather sources), never by the clip
+    # length: a host loop feeds fixed-shape chunks, so a second clip of a
+    # different length reuses all heavy programs and pays only for trivial
+    # pad/slice/concat glue (the reference runs any length with zero
+    # recompilation, run_video.py:550-585).
     # ------------------------------------------------------------------
+    def _pad_rows_dev(self, x: jnp.ndarray, target: int) -> jnp.ndarray:
+        """Pad axis 0 to ``target`` by repeating the last row (on device)."""
+        if x.shape[0] >= target:
+            return x
+        key = ("padrows", x.shape, target, str(x.dtype))
+        if key not in self._jit_cache:
+            pad = target - x.shape[0]
+            self._jit_cache[key] = jax.jit(
+                lambda x: jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0
+                )
+            )
+        return self._jit_cache[key](x)
+
+    def _pad_zeros_dev(self, x: jnp.ndarray, target: int) -> jnp.ndarray:
+        """Zero-pad axis 0 to ``target`` (gather-source capacity padding)."""
+        if x.shape[0] >= target:
+            return x
+        key = ("padzeros", x.shape, target, str(x.dtype))
+        if key not in self._jit_cache:
+            pad_shape = (target - x.shape[0],) + x.shape[1:]
+            self._jit_cache[key] = jax.jit(
+                lambda x: jnp.concatenate(
+                    [x, jnp.zeros(pad_shape, x.dtype)], axis=0
+                )
+            )
+        return self._jit_cache[key](x)
+
+    def _chunks(self, x: jnp.ndarray, rows: int):
+        """Yield [rows, ...] chunks of x; the ragged tail repeats the last
+        row.  The slice program takes the offset as an OPERAND, so one
+        compile serves every chunk position."""
+        n = x.shape[0]
+        n_pad = n + ((-n) % rows)
+        x = self._pad_rows_dev(x, n_pad)
+        key = ("slice", x.shape, rows, str(x.dtype))
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda x, i: jax.lax.dynamic_slice_in_dim(x, i, rows, 0)
+            )
+        if n_pad == rows:
+            yield x
+            return
+        for i in range(0, n_pad, rows):
+            yield self._jit_cache[key](x, i)
+
+    @staticmethod
+    def _cat_rows(outs: List[jnp.ndarray]) -> jnp.ndarray:
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
     def _encode_frames(self, frames: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
-        """[N, H, W, 3] -> [N, h, w, 4] scaled latents, lax.map-chunked."""
+        """[N, H, W, 3] -> [N, h, w, 4] scaled latents (per-chunk program)."""
         n = frames.shape[0]
         bs = min(vae_bs, n)
-        pad = (-n) % bs
         key = ("encode", frames.shape[1:], bs)
         if key not in self._jit_cache:
-            vae, cfg = self.vae, self.vae.config
-
-            @jax.jit
-            def fn(params, x):
-                chunks = x.reshape((-1, bs) + x.shape[1:])
-                out = jax.lax.map(lambda c: vae.encode_mean(params, c), chunks)
-                return out.reshape((-1,) + out.shape[2:])
-
-            self._jit_cache[key] = fn
-        if pad:
-            frames = jnp.concatenate([frames, frames[-1:].repeat(pad, axis=0)], axis=0)
-        out = self._jit_cache[key](self.vae_params, frames)
-        return out[:n]
+            vae = self.vae
+            self._jit_cache[key] = jax.jit(lambda params, x: vae.encode_mean(params, x))
+        fn = self._jit_cache[key]
+        outs = [fn(self.vae_params, c) for c in self._chunks(frames, bs)]
+        return self._cat_rows(outs)[:n]
 
     def _decode_depth(self, latents: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
         """[N, h, w, 4] -> [N, H, W] depth (channel-mean, reference :737).
 
-        With a mesh, decode chunks are dp-sharded like the denoise pass."""
+        With a mesh, each chunk is dp-sharded like the denoise pass."""
         n = latents.shape[0]
         dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         bs = min(vae_bs, n)
-        pad = (-n) % (bs * dp)
-        key = ("decode", latents.shape[1:], bs, n + pad)
+        rows = bs * dp
+        key = ("decode", latents.shape[1:], bs, dp)
         if key not in self._jit_cache:
             vae = self.vae
             mesh = self.mesh
 
             @jax.jit
-            def fn(params, z):
-                chunks = z.reshape((-1, bs) + z.shape[1:])
-
+            def fn(params, z):  # [rows, h, w, 4]
                 def dec(c):
-                    img = vae.decode(params, c)  # [bs, H, W, 3]
-                    return img.mean(axis=-1)
+                    return vae.decode(params, c).mean(axis=-1)
 
                 if mesh is None:
-                    out = jax.lax.map(dec, chunks)
-                else:
-                    from jax.sharding import PartitionSpec as P
+                    return dec(z)
+                from jax.sharding import PartitionSpec as P
 
-                    out = jax.shard_map(
-                        lambda local: jax.lax.map(dec, local),
-                        mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
-                        check_vma=False, axis_names=frozenset({"dp"}),
-                    )(chunks)
-                return out.reshape((-1,) + out.shape[2:])
+                return jax.shard_map(
+                    dec, mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
+                    check_vma=False, axis_names=frozenset({"dp"}),
+                )(z)
 
             self._jit_cache[key] = fn
-        if pad:
-            latents = jnp.concatenate([latents, latents[-1:].repeat(pad, axis=0)], axis=0)
-        out = self._jit_cache[key](self.vae_params, latents)
-        return out[:n]
+        fn = self._jit_cache[key]
+        outs = [fn(self.vae_params, c) for c in self._chunks(latents, rows)]
+        return self._cat_rows(outs)[:n]
 
     def _decode_rgb(self, latents: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
         """[N, h, w, 4] -> [N, H, W, 3] full RGB decode (no channel mean) —
         the relight/passthrough decode variant (rollingimg decode_rgb)."""
         n = latents.shape[0]
         bs = min(vae_bs, n)
-        pad = (-n) % bs
         key = ("decode_rgb", latents.shape[1:], bs)
         if key not in self._jit_cache:
             vae = self.vae
-
-            @jax.jit
-            def fn(params, z):
-                chunks = z.reshape((-1, bs) + z.shape[1:])
-                out = jax.lax.map(lambda c: vae.decode(params, c), chunks)
-                return out.reshape((-1,) + out.shape[2:])
-
-            self._jit_cache[key] = fn
-        if pad:
-            latents = jnp.concatenate([latents, latents[-1:].repeat(pad, axis=0)], axis=0)
-        return self._jit_cache[key](self.vae_params, latents)[:n]
+            self._jit_cache[key] = jax.jit(lambda params, z: vae.decode(params, z))
+        fn = self._jit_cache[key]
+        outs = [fn(self.vae_params, c) for c in self._chunks(latents, bs)]
+        return self._cat_rows(outs)[:n]
 
     def _infer_snippets(
         self,
@@ -559,21 +657,25 @@ class RollingDepthPipeline:
     ) -> jnp.ndarray:
         """One dilation pass: gather -> batched denoise -> snippet LATENTS.
 
-        Replaces the per-snippet loop at reference :406-454 with one device
-        program; every snippet's denoise starts from the SAME init noise
-        (reference :417-418 clones from the shared init).  With a mesh, the
-        snippet-chunk axis is sharded over ``dp`` via shard_map — chips work
-        on disjoint snippets with no communication.  Decoding happens in a
-        separate flat pass over all dilations (forward) so decode chunking
-        never pads per-denoise-chunk."""
+        Replaces the per-snippet loop at reference :406-454 with one compiled
+        chunk program host-looped over [sb*dp, n] index chunks; every
+        snippet's denoise starts from the SAME init noise (reference
+        :417-418 clones from the shared init).  With a mesh, each chunk's
+        snippet axis is sharded over ``dp`` via shard_map — chips work on
+        disjoint snippets with no communication.  The gather source is
+        capacity-padded so the program is keyed by (chunk, n, h, w, bucket),
+        NOT the clip length."""
         s, n = index_matrix.shape
         dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         sb = _pick_chunk(s, self.snippet_batch, dp)
-        s_pad = s + ((-s) % (sb * dp))
-        idx = jnp.asarray(_pad_rows(index_matrix, s_pad))
+        rows = sb * dp
+        s_pad = s + ((-s) % rows)
+        idx = _pad_rows(index_matrix, s_pad)  # host-side [s_pad, n]
         timesteps = jnp.asarray(self.scheduler.timesteps(infer_steps))
+        cap = _capacity(rgb_latent.shape[0])
+        src = self._pad_zeros_dev(rgb_latent, cap)
 
-        key = ("infer", rgb_latent.shape[1:], n, sb, infer_steps, s_pad)
+        key = ("infer", rgb_latent.shape[1:], n, sb, dp, infer_steps, cap)
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
@@ -581,11 +683,10 @@ class RollingDepthPipeline:
             mesh = self.mesh
 
             @jax.jit
-            def fn(unet_params, text, rgb_latent, idx, noise_single, ts):
-                snippets = jnp.take(rgb_latent, idx, axis=0)  # [S_pad, n, h, w, 4]
-                chunks = snippets.reshape((-1, sb) + snippets.shape[1:])
+            def fn(unet_params, text, src, idx_chunk, noise_single, ts):
+                snippets = jnp.take(src, idx_chunk, axis=0)  # [rows, n, h, w, 4]
 
-                def denoise_chunk(rgb_chunk):
+                def denoise_chunk(rgb_chunk):  # [sb, n, h, w, 4]
                     noise = jnp.broadcast_to(noise_single, rgb_chunk.shape).astype(dtype)
 
                     def body(depth_lat, t):
@@ -603,32 +704,31 @@ class RollingDepthPipeline:
                     return depth_lat  # [sb, n, h, w, 4]
 
                 if mesh is None:
-                    out = jax.lax.map(denoise_chunk, chunks)
-                else:
-                    from jax.sharding import PartitionSpec as P
+                    return denoise_chunk(snippets)
+                from jax.sharding import PartitionSpec as P
 
-                    # manual over dp (disjoint snippet chunks per device
-                    # group); any other mesh axis (tp) is left to GSPMD —
-                    # params placed with unet_param_sharding get
-                    # Megatron-split attention/MLP matmuls + psum inside
-                    # each dp shard automatically
-                    out = jax.shard_map(
-                        lambda local: jax.lax.map(denoise_chunk, local),
-                        mesh=mesh,
-                        in_specs=P("dp"),
-                        out_specs=P("dp"),
-                        check_vma=False,
-                        axis_names=frozenset({"dp"}),
-                    )(chunks)
-                return out.reshape((-1,) + out.shape[2:])
+                # manual over dp (disjoint snippet rows per device group);
+                # any other mesh axis (tp) is left to GSPMD — params placed
+                # with unet_param_sharding get Megatron-split attention/MLP
+                # matmuls + psum inside each dp shard automatically
+                return jax.shard_map(
+                    denoise_chunk,
+                    mesh=mesh,
+                    in_specs=P("dp"),
+                    out_specs=P("dp"),
+                    check_vma=False,
+                    axis_names=frozenset({"dp"}),
+                )(snippets)
 
             self._jit_cache[key] = fn
 
-        out = self._jit_cache[key](
-            self.unet_params, self.empty_text_embed,
-            rgb_latent, idx, init_noise_single, timesteps,
-        )
-        return out[:s]  # [S, n, h, w, 4]
+        fn = self._jit_cache[key]
+        outs = [
+            fn(self.unet_params, self.empty_text_embed, src,
+               jnp.asarray(idx[i : i + rows]), init_noise_single, timesteps)
+            for i in range(0, s_pad, rows)
+        ]
+        return self._cat_rows(outs)[:s]  # [S, n, h, w, 4]
 
     def _refine(
         self,
@@ -640,109 +740,144 @@ class RollingDepthPipeline:
         start_dilation: int,
         skip_t_ratio: float = 0.5,
     ) -> jnp.ndarray:
-        """Coarse-to-fine rolling refinement (reference :517-633) as one
-        jitted fori_loop over a precomputed [steps, S_pad, n] index tensor."""
+        """Coarse-to-fine rolling refinement (reference :517-633).
+
+        Host-orchestrated: each of the ``refine_step`` passes gathers
+        annealed-dilation snippet windows, runs the shared per-chunk
+        denoise+scatter program over them, and averages overlapping latents.
+        All device programs are keyed by (chunk, n, h, w, capacity bucket) —
+        compiled once, reused for every step AND every clip length."""
         seq_len = rgb_latent.shape[0]
         total_steps = int(refine_step / skip_t_ratio)
         all_ts = self.scheduler.timesteps(total_steps)
         start_idx = int(len(all_ts) * skip_t_ratio)
         timesteps = all_ts[start_idx:]  # length == refine_step
+        n_steps = len(timesteps)
 
         # per-step snippet index matrices with annealed gap (reference :572-580)
-        idx_list, mask_list = [], []
-        for i_step in range(len(timesteps)):
-            gap = current_gap(i_step, len(timesteps), start_dilation, 1)
+        idx_list, true_counts = [], []
+        for i_step in range(n_steps):
+            gap = current_gap(i_step, n_steps, start_dilation, 1)
             m = snippet_index_matrix(seq_len, snippet_len, gap + 1)
             idx_list.append(m)
-            mask_list.append(m.shape[0])
+            true_counts.append(m.shape[0])
         dp = self.mesh.shape["dp"] if self.mesh is not None else 1
-        s_pad = max(m.shape[0] for m in idx_list)
-        sb = min(self.snippet_batch, s_pad)
-        s_pad = s_pad + ((-s_pad) % (sb * dp))
-        idx_tensor = np.stack([_pad_rows(m, s_pad) for m in idx_list])  # [T, S_pad, n]
-        masks = np.stack(
-            [(np.arange(s_pad) < s_true).astype(np.float32) for s_true in mask_list]
-        )  # [T, S_pad]
+        s_max = max(true_counts)
+        sb = min(self.snippet_batch, s_max)
+        rows = sb * dp
+        s_pad = s_max + ((-s_max) % rows)
+        idx_steps = [_pad_rows(m, s_pad) for m in idx_list]  # [S_pad, n] each
+        mask_steps = [
+            (np.arange(s_pad) < c).astype(np.float32) for c in true_counts
+        ]
 
-        key = ("refine", rgb_latent.shape, snippet_len, sb, s_pad, len(timesteps), total_steps)
+        cap = _capacity(seq_len)
+        src_rgb = self._pad_zeros_dev(rgb_latent, cap)
+        lat_shape = rgb_latent.shape[1:]  # (h, w, 4)
+        n = snippet_len
+
+        key = ("refine_chunk", lat_shape, n, sb, dp, total_steps, cap)
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
             dtype = self.dtype
-            n_steps = len(timesteps)
             mesh = self.mesh
 
             @jax.jit
-            def fn(unet_params, text, rgb_latent, depth_latent, noise_single, idx_t, mask_t, ts):
-                # add noise at the first kept timestep (reference :548-552)
-                noise = jnp.broadcast_to(noise_single, depth_latent.shape)
-                depth_new = scheduler.add_noise(
-                    depth_latent.astype(jnp.float32), noise.astype(jnp.float32), ts[0]
-                ).astype(dtype)
+            def chunk_fn(unet_params, text, src_rgb, src_depth, idx_chunk, mask_chunk, t, acc, cnt):
+                rgb_s = jnp.take(src_rgb, idx_chunk, axis=0)  # [rows, n, h, w, 4]
+                depth_s = jnp.take(src_depth, idx_chunk, axis=0)
 
-                def step_body(i, depth_new):
-                    idx = idx_t[i]  # [S_pad, n]
-                    mask = mask_t[i]  # [S_pad]
-                    t = ts[i]
-                    depth_old = depth_new
-                    rgb_s = jnp.take(rgb_latent, idx, axis=0)
-                    depth_s = jnp.take(depth_old, idx, axis=0)
-
-                    def denoise_chunk(args):
-                        rgb_chunk, depth_chunk = args
-                        x = jnp.concatenate([rgb_chunk, depth_chunk], axis=-1)
-                        eps = unet_apply(unet_params, unet_cfg, x, jnp.full((sb,), t), text)
-                        prev, _ = scheduler.step(
-                            eps.astype(jnp.float32),
-                            t,
-                            depth_chunk.astype(jnp.float32),
-                            num_inference_steps=total_steps,
-                        )
-                        return prev.astype(dtype)
-
-                    rgb_c = rgb_s.reshape((-1, sb) + rgb_s.shape[1:])
-                    dep_c = depth_s.reshape((-1, sb) + depth_s.shape[1:])
-                    if mesh is None:
-                        preds = jax.lax.map(denoise_chunk, (rgb_c, dep_c))
-                    else:
-                        from jax.sharding import PartitionSpec as P
-
-                        preds = jax.shard_map(
-                            lambda local: jax.lax.map(denoise_chunk, local),
-                            mesh=mesh,
-                            in_specs=P("dp"),
-                            out_specs=P("dp"),
-                            check_vma=False,
-                            axis_names=frozenset({"dp"}),
-                        )((rgb_c, dep_c))
-                    preds = preds.reshape((-1,) + preds.shape[2:])  # [S_pad, n, h, w, 4]
-
-                    # mask-weighted overlap average (reference :586-629)
-                    acc = jnp.zeros(depth_old.shape, jnp.float32)
-                    cnt = jnp.zeros((seq_len,), jnp.float32)
-                    wmask = mask[:, None]
-                    flat_idx = idx.reshape(-1)
-                    acc = acc.at[flat_idx].add(
-                        (preds.astype(jnp.float32) * wmask[:, :, None, None, None]).reshape(
-                            (-1,) + preds.shape[2:]
-                        )
+                def denoise_chunk(args):
+                    rgb_chunk, depth_chunk = args  # [sb, n, h, w, 4]
+                    x = jnp.concatenate([rgb_chunk, depth_chunk], axis=-1)
+                    eps = unet_apply(unet_params, unet_cfg, x, jnp.full((sb,), t), text)
+                    prev, _ = scheduler.step(
+                        eps.astype(jnp.float32),
+                        t,
+                        depth_chunk.astype(jnp.float32),
+                        num_inference_steps=total_steps,
                     )
-                    cnt = cnt.at[flat_idx].add(jnp.broadcast_to(wmask, idx.shape).reshape(-1))
-                    # frames covered by no refine window (possible with
-                    # cap_dilation=False on short clips) keep their previous
-                    # latent instead of propagating 0/0 NaNs; the reference
-                    # asserts coverage instead (rollingdepth_pipeline.py:628)
-                    cnt4 = cnt[:, None, None, None]
-                    return jnp.where(
-                        cnt4 > 0, acc / jnp.maximum(cnt4, 1.0), depth_old.astype(jnp.float32)
-                    ).astype(dtype)
+                    return prev
 
-                return jax.lax.fori_loop(0, n_steps, step_body, depth_new)
+                if mesh is None:
+                    preds = denoise_chunk((rgb_s, depth_s))
+                else:
+                    from jax.sharding import PartitionSpec as P
 
-            self._jit_cache[key] = fn
+                    preds = jax.shard_map(
+                        denoise_chunk,
+                        mesh=mesh,
+                        in_specs=P("dp"),
+                        out_specs=P("dp"),
+                        check_vma=False,
+                        axis_names=frozenset({"dp"}),
+                    )((rgb_s, depth_s))
 
-        return self._jit_cache[key](
-            self.unet_params, self.empty_text_embed, rgb_latent, depth_latent,
-            init_noise_single, jnp.asarray(idx_tensor), jnp.asarray(masks),
-            jnp.asarray(timesteps),
-        )
+                # mask-weighted overlap scatter (reference :586-629)
+                wmask = mask_chunk[:, None]
+                flat_idx = idx_chunk.reshape(-1)
+                acc = acc.at[flat_idx].add(
+                    (preds * wmask[:, :, None, None, None]).reshape(
+                        (-1,) + preds.shape[2:]
+                    )
+                )
+                cnt = cnt.at[flat_idx].add(
+                    jnp.broadcast_to(wmask, idx_chunk.shape).reshape(-1)
+                )
+                return acc, cnt
+
+            self._jit_cache[key] = chunk_fn
+        chunk_fn = self._jit_cache[key]
+
+        zkey = ("refine_zero", lat_shape, cap)
+        if zkey not in self._jit_cache:
+            self._jit_cache[zkey] = jax.jit(
+                lambda: (
+                    jnp.zeros((cap,) + lat_shape, jnp.float32),
+                    jnp.zeros((cap,), jnp.float32),
+                )
+            )
+        akey = ("refine_avg", lat_shape, cap)
+        if akey not in self._jit_cache:
+            dtype = self.dtype
+            # frames covered by no refine window (possible with
+            # cap_dilation=False on short clips) keep their previous latent
+            # instead of propagating 0/0 NaNs; the reference asserts coverage
+            # instead (rollingdepth_pipeline.py:628)
+            self._jit_cache[akey] = jax.jit(
+                lambda acc, cnt, old: jnp.where(
+                    cnt[:, None, None, None] > 0,
+                    acc / jnp.maximum(cnt[:, None, None, None], 1.0),
+                    old.astype(jnp.float32),
+                ).astype(dtype)
+            )
+        nkey = ("refine_noise", depth_latent.shape)
+        if nkey not in self._jit_cache:
+            scheduler = self.scheduler
+            dtype = self.dtype
+            # add noise at the first kept timestep (reference :548-552)
+            self._jit_cache[nkey] = jax.jit(
+                lambda d, nz, t: scheduler.add_noise(
+                    d.astype(jnp.float32), nz.astype(jnp.float32), t
+                ).astype(dtype)
+            )
+
+        noise = jnp.broadcast_to(init_noise_single, depth_latent.shape)
+        depth_new = self._jit_cache[nkey](depth_latent, noise, jnp.asarray(timesteps[0]))
+        depth_cap = self._pad_zeros_dev(depth_new, cap)  # [cap, h, w, 4]
+
+        for i_step in range(n_steps):
+            acc, cnt = self._jit_cache[zkey]()
+            t = jnp.asarray(timesteps[i_step])
+            for i in range(0, s_pad, rows):
+                acc, cnt = chunk_fn(
+                    self.unet_params, self.empty_text_embed, src_rgb, depth_cap,
+                    jnp.asarray(idx_steps[i_step][i : i + rows]),
+                    jnp.asarray(mask_steps[i_step][i : i + rows]),
+                    t, acc, cnt,
+                )
+            # padded frames have cnt 0 and keep their zeros — sliced off below
+            depth_cap = self._jit_cache[akey](acc, cnt, depth_cap)
+
+        return depth_cap[:seq_len]

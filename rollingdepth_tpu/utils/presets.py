@@ -48,13 +48,22 @@ class InferenceSettings:
     # TPU-specific execution knobs (no reference equivalent)
     snippet_batch: int = 8  # snippets denoised per device step
     data_parallel: int = 1  # size of the snippet-sharding mesh axis
+    # TURBO merge: co-align + merge snippet LATENTS and decode N frames once
+    # instead of decoding every snippet frame (~3.4x decode redundancy in the
+    # reference merge).  Drift vs the reference merge is bounded by
+    # tests/test_e2e_parity.py::test_latent_merge_close_to_reference; pass
+    # --merge-in-latent false for the exact reference merge path.
+    merge_in_latent: bool = False
 
 
 # Named presets, layered over the base defaults
 # (/root/reference/run_video.py:423-452).
 PRESETS: Dict[str, Dict[str, Any]] = {
-    "fast": {"dilations": [1, 25], "refine_step": 0},
-    "fast1024": {"res": 1024, "dilations": [1, 25], "refine_step": 0},
+    "fast": {"dilations": [1, 25], "refine_step": 0, "merge_in_latent": True},
+    "fast1024": {
+        "res": 1024, "dilations": [1, 25], "refine_step": 0,
+        "merge_in_latent": True,
+    },
     "full": {"res": 1024, "dilations": [1, 10, 25], "refine_step": 10},
     "paper": {
         "dilations": [1, 10, 25],

@@ -166,6 +166,51 @@ def test_e2e_depth_parity(ref_pipe, jax_pipe, monkeypatch):
     assert diff.max() < 2e-2, f"max diff {diff.max()} (mean {diff.mean()})"
 
 
+def test_latent_merge_close_to_reference(ref_pipe, jax_pipe, monkeypatch):
+    """TURBO latent-space merge drift bound vs the torch reference merge.
+
+    The turbo mode (merge_in_latent=True) solves per-snippet (s, t) over
+    snippet LATENTS, averages overlapping windows in latent space, and
+    decodes N frames once — vs the reference's decode-all-snippets,
+    align-in-depth-space merge (depth_aligner.py:231-262 after
+    rollingdepth_pipeline.py:706-740).  The approximation drift on the
+    composed e2e fixture must stay inside the documented tolerance
+    (corr > 0.995) for turbo to be the fast-preset default."""
+    import torch
+
+    frames = _frames(seed=6)
+    init_noise = np.random.RandomState(13).randn(4, 16, 16).astype(np.float32)
+
+    monkeypatch.setattr(torch, "randn", _patched_randn(torch, init_noise))
+    ref_out = _run_ref(ref_pipe, frames, init_noise, refine_step=0)
+    ref_depth = ref_out.depth_pred.squeeze(0).numpy()
+
+    jax_out = jax_pipe.forward(
+        input_frames=frames,
+        dilations=[1, 2],
+        cap_dilation=False,
+        snippet_lengths=[3],
+        init_infer_steps=[1],
+        strides=[1],
+        refine_step=0,
+        max_vae_bs=4,
+        init_noise=init_noise,
+        merge_in_latent=True,
+        # 16x16 tiny latents: subsample 1 keeps enough pixels for the solve
+        latent_coalign_kwargs=dict(factor=1, num_iterations=300),
+    )
+    jax_depth = jax_out.depth_pred
+
+    assert ref_depth.shape == jax_depth.shape
+    assert jax_out.snippet_ls == []  # turbo never decodes snippets
+    assert np.isfinite(jax_depth).all()
+    corr = np.corrcoef(ref_depth.ravel(), jax_depth.ravel())[0, 1]
+    diff = np.abs(ref_depth - jax_depth)
+    print(f"turbo drift: corr={corr:.5f} mean|d|={diff.mean():.4f} max|d|={diff.max():.4f}")
+    assert corr > 0.995, f"corr={corr}"
+    assert diff.mean() < 5e-2, f"mean diff {diff.mean()} (max {diff.max()})"
+
+
 def test_e2e_depth_parity_with_refine(ref_pipe, jax_pipe, monkeypatch):
     """Same composition plus the rolling refinement loop (refine_step=2)."""
     import torch

@@ -56,6 +56,33 @@ def test_pipeline_multi_dilation_and_refine(tiny_pipeline):
     assert np.isfinite(out.depth_pred).all()
 
 
+def test_pipeline_latent_merge_turbo(tiny_pipeline):
+    """merge_in_latent: snippet latents aligned+merged in latent space, ONE
+    decode of N frames.  Output must stay close to the decode-all-snippets
+    reference merge path (exact drift bound vs the torch oracle lives in
+    test_e2e_parity.py::test_latent_merge_close_to_reference)."""
+    frames = _frames(n=10)
+    ref = tiny_pipeline.forward(frames, dilations=[1, 3], seed=2)
+    turbo = tiny_pipeline.forward(
+        frames, dilations=[1, 3], seed=2, merge_in_latent=True,
+        latent_coalign_kwargs=dict(factor=1),
+    )
+    assert turbo.depth_pred.shape == (10, 1, 32, 32)
+    assert turbo.snippet_ls == []
+    assert np.isfinite(turbo.depth_pred).all()
+    corr = np.corrcoef(ref.depth_pred.ravel(), turbo.depth_pred.ravel())[0, 1]
+    assert corr > 0.99, f"turbo vs standard merge corr={corr}"
+
+    # turbo composes with refinement (merged latents -> decode -> normalize
+    # -> re-encode -> refine), same as the reference refine entry
+    turbo_ref = tiny_pipeline.forward(
+        frames, dilations=[1, 3], refine_step=2, refine_snippet_len=3,
+        refine_start_dilation=2, seed=2, merge_in_latent=True,
+        latent_coalign_kwargs=dict(factor=1),
+    )
+    assert np.isfinite(turbo_ref.depth_pred).all()
+
+
 def test_pipeline_deterministic(tiny_pipeline):
     a = tiny_pipeline.forward(_frames(), dilations=[1], seed=7)
     b = tiny_pipeline.forward(_frames(), dilations=[1], seed=7)
