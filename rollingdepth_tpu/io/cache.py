@@ -82,10 +82,17 @@ def load_params(path: str, dtype=None) -> Params:
     return _unflatten(flat)
 
 
+# bump whenever the torch->pytree CONVERSION format changes (param naming,
+# tensor layout, splits) — cached pytrees from an older converter must not
+# load into newer model code (e.g. v2: GEGLU proj split into proj_h/proj_gate)
+CONVERSION_FORMAT_VERSION = 2
+
+
 def cache_path(checkpoint_dir: str, subfolder: str, dtype) -> str:
-    """Cache file keyed by (path, subfolder, dtype) AND the source weight
-    files' size+mtime, so weights replaced in place invalidate the cache."""
-    key = f"{os.path.abspath(checkpoint_dir)}:{subfolder}:{dtype}"
+    """Cache file keyed by (path, subfolder, dtype, converter version) AND
+    the source weight files' size+mtime, so both weights replaced in place
+    and converter format changes invalidate the cache."""
+    key = f"{os.path.abspath(checkpoint_dir)}:{subfolder}:{dtype}:v{CONVERSION_FORMAT_VERSION}"
     sub = os.path.join(checkpoint_dir, subfolder)
     if os.path.isdir(sub):
         for name in sorted(os.listdir(sub)):

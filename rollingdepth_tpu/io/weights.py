@@ -67,9 +67,24 @@ def state_dict_to_pytree(
             if key is None:
                 continue
         # diffusers FeedForward: net.0 is the GEGLU proj, net.1 dropout,
-        # net.2 the out linear — flatten to our {proj, out} naming
+        # net.2 the out linear — flatten to our {proj_h, proj_gate, out}
+        # naming.  The fused GEGLU kernel [2*inner, dim] (torch [out, in]) is
+        # split at the midpoint into the value/gate halves so each becomes an
+        # independently tp-shardable linear (models/layers.py geglu_ff).
         key = key.replace(".ff.net.0.proj.", ".ff.proj.").replace(".ff.net.2.", ".ff.out.")
         t = _to_numpy(tensor)
+        if ".ff.proj." in key:
+            half = t.shape[0] // 2
+            for sub, tt in (("proj_h", t[:half]), ("proj_gate", t[half:])):
+                subkey = key.replace(".ff.proj.", f".ff.{sub}.")
+                parts = subkey.split(".")
+                leaf_name, arr = translate_tensor(parts[-1], tt, parent=parts[-2])
+                node = tree
+                for part in parts[:-1]:
+                    key_part: Any = int(part) if part.isdigit() else part
+                    node = node.setdefault(key_part, {})
+                node[leaf_name] = jnp.asarray(arr, dtype=dtype)
+            continue
         parts = key.split(".")
         # diffusers attention out proj: "to_out.0" -> "to_out"
         cleaned = []

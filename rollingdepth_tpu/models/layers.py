@@ -344,16 +344,22 @@ def upsample_nearest_conv(p: Params, x: jnp.ndarray, output_size=None) -> jnp.nd
 
 
 def geglu_init(key, dim: int, inner_dim: int, dtype=jnp.float32) -> Params:
-    k1, k2 = jax.random.split(key)
+    # the value/gate projections are SEPARATE params (diffusers fuses them
+    # into one [dim, 2*inner] GEGLU kernel split at the midpoint; the weight
+    # converter splits it at load).  Keeping them separate makes each a plain
+    # column-parallel matmul under tp sharding — the elementwise gating stays
+    # shard-local instead of fighting the fused kernel's midpoint split.
+    k1, k2, k3 = jax.random.split(key, 3)
     return {
-        "proj": linear_init(k1, dim, inner_dim * 2, dtype=dtype),
-        "out": linear_init(k2, inner_dim, dim, dtype=dtype),
+        "proj_h": linear_init(k1, dim, inner_dim, dtype=dtype),
+        "proj_gate": linear_init(k2, dim, inner_dim, dtype=dtype),
+        "out": linear_init(k3, inner_dim, dim, dtype=dtype),
     }
 
 
 def geglu_ff(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    h = linear(p["proj"], x)
-    h, gate = jnp.split(h, 2, axis=-1)
+    h = linear(p["proj_h"], x)
+    gate = linear(p["proj_gate"], x)
     h = h * gelu_tanh_free(gate)
     return linear(p["out"], h)
 

@@ -14,8 +14,15 @@ from typing import Any, Dict
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-COLUMN_PARALLEL = ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj", "fc1")
-ROW_PARALLEL = ("to_out", "out_proj", "fc2")
+# "proj_h"/"proj_gate" are the GEGLU value/gate halves (models/layers.py
+# geglu_ff) — separate params so each is a plain column-parallel matmul and
+# the elementwise gating stays shard-local; the ff "out" linear is the
+# matching row-parallel projection (psum inserted by GSPMD).
+COLUMN_PARALLEL = (
+    "to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj", "fc1",
+    "proj_h", "proj_gate",
+)
+ROW_PARALLEL = ("to_out", "out_proj", "fc2", "out")
 
 
 def _path_names(path) -> list:
@@ -31,9 +38,9 @@ def _path_names(path) -> list:
 def unet_param_sharding(params: Dict[str, Any], mesh: Mesh, tp_axis: str = "tp"):
     """PartitionSpec pytree for UNet/CLIP-style params.
 
-    Only attention and (CLIP) MLP projections are tp-sharded; ff GEGLU proj
-    is left replicated because its 2*inner output is split at the midpoint
-    (models/layers.py geglu_ff), which fights even sharding.
+    Attention, (CLIP) MLP, and GEGLU feed-forward projections are
+    tp-sharded; convs/norms stay replicated (GroupNorm between convs needs
+    full channels, and conv FLOPs are balanced by the dp axis).
     """
 
     def spec_for(path, leaf):

@@ -78,6 +78,44 @@ def test_sharded_training_step_matches_single_device():
     )
 
 
+def test_tp_sharded_inference_matches_single():
+    """tp-sharded UNet INFERENCE must equal the single-device forward at
+    SD-like head counts (heads divisible by tp=4) — VERDICT r2: tp was only
+    exercised by the tiny dryrun, never equality-tested."""
+    from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig, unet_apply
+
+    cfg = UNetConfig(
+        sample_size=8, in_channels=8, out_channels=4,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(32, 64), layers_per_block=1,
+        cross_attention_dim=32, attention_head_dim=4,  # 32/4 = 8 heads
+        norm_num_groups=4,
+    )
+    unet = UNet2DCondition(cfg)
+    params = unet.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 16, 16, 8))
+    t = jnp.full((2,), 500)
+    text = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 32))
+
+    ref = jax.jit(lambda p: unet_apply(p, cfg, x, t, text))(params)
+
+    mesh = make_mesh(shape=(2, 4))  # tp = 4
+    shardings = unet_param_sharding(params, mesh)
+    params_sh = jax.tree.map(jax.device_put, params, shardings)
+    # sanity: the GEGLU ff is actually tp-sharded now (value/gate halves are
+    # independent column-parallel linears)
+    flat = jax.tree.leaves_with_path(shardings)
+    gh = [s for p, s in flat if "proj_h" in str(p) and "kernel" in str(p)]
+    go = [s for p, s in flat if "'ff'" in str(p) and "'out'" in str(p) and "kernel" in str(p)]
+    assert gh and gh[0].spec == jax.sharding.PartitionSpec(None, "tp")
+    assert go and go[0].spec == jax.sharding.PartitionSpec("tp", None)
+
+    with mesh:
+        out = jax.jit(lambda p: unet_apply(p, cfg, x, t, text))(params_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_param_sharding_specs():
     from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
 
