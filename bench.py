@@ -110,9 +110,27 @@ def main():
     from rollingdepth_tpu.schedulers.ddim import DDIMConfig, DDIMScheduler
     from rollingdepth_tpu.utils.bench_init import device_random_params
 
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    n_clips = int(sys.argv[2]) if len(sys.argv) > 2 else 4  # timed clips
-    h, w = 768, 432  # 16:9 at max edge 768 (fast preset res)
+    # optional preset mode (VERDICT r2 #4: phase evidence for every preset):
+    #   python bench.py [n_frames] [n_clips] [--mode fast|fast1024|full|paper]
+    # the driver's plain `python bench.py` stays the fast-768p headline
+    args = [a for a in sys.argv[1:]]
+    mode = "fast"
+    if "--mode" in args:
+        i = args.index("--mode")
+        mode = args[i + 1]
+        del args[i : i + 2]
+    n_frames = int(args[0]) if len(args) > 0 else 60
+    n_clips = int(args[1]) if len(args) > 1 else 4  # timed clips
+    # preset geometry/config (utils/presets.py; reference run_video.py:423-452)
+    MODES = {
+        # (max_edge, dilations, refine_step, merge_in_latent)
+        "fast": (768, [1, 25], 0, True),
+        "fast1024": (1024, [1, 25], 0, True),
+        "full": (1024, [1, 10, 25], 10, False),
+        "paper": (768, [1, 10, 25], 10, False),
+    }
+    max_edge, dilations, refine_step, merge_latent = MODES[mode]
+    h, w = max_edge, (max_edge * 9 // 16) // 8 * 8  # 16:9 at the preset edge
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     kernel_parity_preamble()
@@ -142,7 +160,7 @@ def main():
     ]
 
     kwargs = dict(
-        dilations=[1, 25], cap_dilation=True, refine_step=0, seed=0,
+        dilations=dilations, cap_dilation=True, refine_step=refine_step, seed=0,
         max_vae_bs=16, fetch_output=False,
         # fast-preset default since round 3: latent-space co-align + merge,
         # decoding N frames once instead of every snippet frame (drift vs the
@@ -150,7 +168,7 @@ def main():
         # vs_baseline denominator still prices the REFERENCE algorithm
         # (decode-all-snippets) on the 3090 — beating it algorithmically at
         # matched output quality is the point.
-        merge_in_latent=True,
+        merge_in_latent=merge_latent,
     )
 
     def fetch_and_check(depth_dev):
@@ -166,6 +184,33 @@ def main():
     print(
         f"[bench] warmup (incl. compile) {time.perf_counter()-t0:.1f}s; "
         f"phase timings {pipe.last_timings}",
+        file=sys.stderr,
+    )
+    # steady-state phase split (all programs compiled; per-phase syncs)
+    t0 = time.perf_counter()
+    out = pipe.forward(_upload(clips[1 % len(clips)]), verbose=True, **kwargs)
+    fetch_and_check(out.depth_pred)
+    print(
+        f"[bench] steady verbose clip {time.perf_counter()-t0:.1f}s; "
+        f"phase timings {pipe.last_timings}",
+        file=sys.stderr,
+    )
+    # NEW-LENGTH clip: per-chunk programs are keyed by chunk shape, so a
+    # different clip length must reuse every heavy program and add only
+    # trivial glue compiles (target: < 5 s extra vs its own steady state)
+    alt = (rng.rand(44, 3, h, w) * 255).astype(np.uint8)
+    t0 = time.perf_counter()
+    out = pipe.forward(_upload(alt), **kwargs)
+    fetch_and_check(out.depth_pred)
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = pipe.forward(_upload(alt), **kwargs)
+    fetch_and_check(out.depth_pred)
+    second = time.perf_counter() - t0
+    new_len_compile_s = first - second
+    print(
+        f"[bench] new-length (44f) first {first:.1f}s steady {second:.1f}s "
+        f"-> compile overhead {new_len_compile_s:.1f}s",
         file=sys.stderr,
     )
 
@@ -210,14 +255,19 @@ def main():
     fetch_incl_fps = n_frames / (time.perf_counter() - t0)
     print(f"[bench] fetch-inclusive single-clip {fetch_incl_fps:.2f} fps", file=sys.stderr)
 
-    # 3090 estimate for the same workload (documented in module docstring)
-    est_3090_fps = 71e12 * 0.40 / flops_per_frame(h, w)
+    # 3090 estimate for the same workload (documented in module docstring);
+    # the refine FLOPs of full/paper are NOT modeled, so their vs_baseline is
+    # conservative (refine adds ~refine_step UNet evals/frame to the
+    # reference's cost too)
+    est_3090_fps = 71e12 * 0.40 / flops_per_frame(h, w, dilation_count=len(dilations))
     result = {
-        "metric": "depth_fps_768p_fast_1chip",
+        "metric": "depth_fps_768p_fast_1chip" if mode == "fast"
+        else f"depth_fps_{mode}_1chip",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / est_3090_fps, 3),
         "fps_fetch_inclusive": round(fetch_incl_fps, 3),
+        "new_length_compile_s": round(new_len_compile_s, 1),
     }
     print(json.dumps(result))
 

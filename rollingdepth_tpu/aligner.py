@@ -55,16 +55,32 @@ _SOLVE_CACHE: Dict[Any, Any] = {}
 _MERGE_CACHE: Dict[Any, Any] = {}
 
 
-def _onehot_tables(index_mats, seq_len: int):
-    """[rows, T] assignment matrices + per-frame coverage counts."""
+# Shape buckets: solver inputs are padded (zero rows + zero one-hot rows +
+# masks) so the jitted solve/merge programs are keyed by BUCKETS, not the
+# exact clip length / window counts — a different-length clip reuses the
+# compiled 2000-iteration solver (the per-length recompile cost minutes on a
+# remote-compile backend).
+S_BUCKET = 64  # snippet-window rows (S ~ N, so this tracks the frame bucket:
+#                a 44f and a 60f clip must land in the SAME solve program)
+T_BUCKET = 64  # frames
+
+
+def _round_up(x: int, m: int) -> int:
+    return m * (-(-x // m))
+
+
+def _onehot_tables(index_mats, seq_len: int, s_pads, t_pad: int):
+    """[S_pad*w, T_pad] assignment matrices (zero rows for padded windows)
+    + per-frame coverage counts over [T_pad] (zero for padded frames)."""
     onehots = []
-    counts = np.zeros((seq_len,), np.float32)
-    for idx in index_mats:
+    counts = np.zeros((t_pad,), np.float32)
+    for idx, s_pad in zip(index_mats, s_pads):
         idx_np = np.asarray(idx)
-        oh = np.zeros((idx_np.size, seq_len), np.float32)
-        oh[np.arange(idx_np.size), idx_np.reshape(-1)] = 1.0
+        s, w = idx_np.shape
+        oh = np.zeros((s_pad * w, t_pad), np.float32)
+        oh[np.arange(s * w), idx_np.reshape(-1)] = 1.0
         onehots.append(jnp.asarray(oh))
-        counts += np.bincount(idx_np.reshape(-1), minlength=seq_len)
+        counts[:seq_len] += np.bincount(idx_np.reshape(-1), minlength=seq_len)
     return onehots, jnp.asarray(counts)
 
 
@@ -112,31 +128,52 @@ class DepthAligner:
             snippet_index_matrix(seq_len, s.shape[1], d)
             for s, d in zip(snippet_ls, dilations)
         ]
-        onehots, counts = _onehot_tables(index_mats, seq_len)
+        # bucket padding: zero window rows + zero one-hot rows + masks keep
+        # the solve/merge programs length-independent
+        s_true = [m.shape[0] for m in index_mats]
+        s_pads = [_round_up(s, S_BUCKET) for s in s_true]
+        t_pad = _round_up(seq_len, T_BUCKET)
+        onehots, counts = _onehot_tables(index_mats, seq_len, s_pads, t_pad)
+        masks = [
+            jnp.asarray((np.arange(sp) < st).astype(np.float32))
+            for sp, st in zip(s_pads, s_true)
+        ]
+
+        def pad_rows(x, target):
+            if x.shape[0] == target:
+                return x
+            widths = [(0, target - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        solver_views = [pad_rows(v, sp) for v, sp in zip(solver_views, s_pads)]
 
         scales, translations, history = self._optimize(
-            solver_views, onehots, counts, seq_len
+            solver_views, onehots, counts, masks, s_true, seq_len, t_pad
         )
-        merged = self._merge(snippet_ls, index_mats, scales, translations, seq_len)
+        merged = self._merge(
+            [pad_rows(s, sp) for s, sp in zip(snippet_ls, s_pads)],
+            index_mats, s_pads, scales, translations, seq_len, t_pad,
+        )
+        scales = [s[:st] for s, st in zip(scales, s_true)]
+        translations = [t[:st] for t, st in zip(translations, s_true)]
         if restore_shift:
             merged = merged + mn
         return merged, scales, translations, history
 
     # ------------------------------------------------------------------
-    def _optimize(self, views, onehots, counts, seq_len: int):
+    def _optimize(self, views, onehots, counts, masks, s_true, seq_len: int, t_pad: int):
         cfg = self.config
-        # flatten pixels: [S, w, P] with P = C*H'*W'  (C-native generalization
-        # of depth_aligner.py:140-143 / my_aligner.py:148-153)
+        # flatten pixels: [S_pad, w, P] with P = C*H'*W'  (C-native
+        # generalization of depth_aligner.py:140-143 / my_aligner.py:148-153)
         flat = [v.reshape(v.shape[0], v.shape[1], -1) for v in views]
         shapes = tuple(v.shape for v in flat)
-        key = ("solve", shapes, seq_len, cfg)
+        # keyed by PADDED bucket shapes: the true sizes travel as operands
+        key = ("solve", shapes, t_pad, cfg)
 
         if key not in _SOLVE_CACHE:
             sizes = [v.shape[0] for v in flat]
             widths = [v.shape[1] for v in flat]
             p_dim = flat[0].shape[-1]
-            rows_total = sum(widths)
-            denom = rows_total * seq_len * p_dim  # numel of the reference's M
             # equal-window groups stack into single tensors
             stacked = len(set(widths)) == 1
             bounds = np.concatenate([[0], np.cumsum(sizes)])
@@ -147,71 +184,83 @@ class DepthAligner:
             # to a flat 1e-3 wall)
             use_inv = cfg.depth_loss_weight != 0.0
 
-            def loss_fn(params, flat_t, oh_t, counts):
+            def loss_fn(params, flat_t, oh_t, counts, mask_t, strue_t, denom):
                 # params are ONE (s, t) vector pair over all windows — like
                 # the reference's single scales/translations tensors
-                # (depth_aligner.py:155-157); groups view into it by bounds
+                # (depth_aligner.py:155-157); groups view into it by bounds.
+                # Padded windows have zero one-hot rows (no scatter), are
+                # masked out of every loss term, and get no gradient.
                 s_all, t_all = params
                 s_list = [s_all[bounds[i] : bounds[i + 1]] for i in range(len(sizes))]
                 t_list = [t_all[bounds[i] : bounds[i + 1]] for i in range(len(sizes))]
+                cnt_safe = jnp.maximum(counts, 1.0)[:, None]
                 if stacked:
                     flat_all = jnp.concatenate(flat_t, axis=0)
                     oh_all = jnp.concatenate(oh_t, axis=0)
+                    mask_all = jnp.concatenate(mask_t, axis=0)
                     a = flat_all * s_all[:, None, None] + t_all[:, None, None]
                     a_inv = jnp.clip(a, 1e-3, None) ** -1 if use_inv else None
                     sum_m = oh_all.T @ a.reshape(-1, p_dim)
                     sum_inv = (
                         oh_all.T @ a_inv.reshape(-1, p_dim) if use_inv else None
                     )
-                    groups = [(a, a_inv, oh_all)]
+                    groups = [(a, a_inv, oh_all, mask_all)]
                 else:
-                    sum_m = jnp.zeros((seq_len, p_dim), jnp.float32)
-                    sum_inv = jnp.zeros((seq_len, p_dim), jnp.float32) if use_inv else None
+                    sum_m = jnp.zeros((t_pad, p_dim), jnp.float32)
+                    sum_inv = jnp.zeros((t_pad, p_dim), jnp.float32) if use_inv else None
                     groups = []
-                    for v, oh, s, t in zip(flat_t, oh_t, s_list, t_list):
+                    for v, oh, m, s, t in zip(flat_t, oh_t, mask_t, s_list, t_list):
                         a = v * s[:, None, None] + t[:, None, None]
                         a_inv = jnp.clip(a, 1e-3, None) ** -1 if use_inv else None
                         sum_m = sum_m + oh.T @ a.reshape(-1, p_dim)
                         if use_inv:
                             sum_inv = sum_inv + oh.T @ a_inv.reshape(-1, p_dim)
-                        groups.append((a, a_inv, oh))
+                        groups.append((a, a_inv, oh, m))
 
-                target = jax.lax.stop_gradient(sum_m / counts[:, None])
+                target = jax.lax.stop_gradient(sum_m / cnt_safe)
                 scale = jax.lax.stop_gradient(jnp.abs(target).mean(-1, keepdims=True))
                 if use_inv:
-                    target_inv = jax.lax.stop_gradient(sum_inv / counts[:, None])
+                    target_inv = jax.lax.stop_gradient(sum_inv / cnt_safe)
                     scale_inv = jax.lax.stop_gradient(
                         jnp.abs(target_inv).mean(-1, keepdims=True)
                     )
 
                 loss_m = 0.0
                 loss_inv = 0.0
-                for a, a_inv, oh in groups:
+                for a, a_inv, oh, m in groups:
                     shape = a.shape
+                    wmask = m[:, None, None]
                     tgt = (oh @ target).reshape(shape)  # gather via matmul
-                    sc = (oh @ scale).reshape(shape[:2] + (1,))
-                    loss_m += jnp.abs((a - tgt) / sc).sum()
+                    sc = jnp.maximum((oh @ scale).reshape(shape[:2] + (1,)), 1e-12)
+                    loss_m += (wmask * jnp.abs((a - tgt) / sc)).sum()
                     if use_inv:
                         tgt_inv = (oh @ target_inv).reshape(shape)
-                        sc_inv = (oh @ scale_inv).reshape(shape[:2] + (1,))
-                        loss_inv += jnp.abs((a_inv - tgt_inv) / sc_inv).sum()
+                        sc_inv = jnp.maximum(
+                            (oh @ scale_inv).reshape(shape[:2] + (1,)), 1e-12
+                        )
+                        loss_inv += (wmask * jnp.abs((a_inv - tgt_inv) / sc_inv)).sum()
                 loss = loss_m / denom + cfg.depth_loss_weight * (loss_inv / denom)
 
                 # soft constraints are PER dilation group, then summed — the
                 # reference keeps per-group scale/translation tensors and
-                # sums per-tensor means (depth_aligner.py:150-155, 205-208)
+                # sums per-tensor means (depth_aligner.py:150-155, 205-208);
+                # masked sums / true counts reproduce the unpadded means
                 soft = 0.0
-                for s, t in zip(s_list, t_list):
-                    soft += cfg.lmda2 * (jnp.maximum(0.0, 1.0 - s) ** 2).mean()
-                    soft += cfg.lmda3 * (t**2).mean()
+                for s, t, m, st in zip(s_list, t_list, mask_t, strue_t):
+                    soft += cfg.lmda2 * (m * jnp.maximum(0.0, 1.0 - s) ** 2).sum() / st
+                    soft += cfg.lmda3 * (m * t**2).sum() / st
                 total = cfg.loss_scale * loss + soft
-                aux = (target.min(), target.max())
+                covered = counts > 0
+                aux = (
+                    jnp.where(covered[:, None], target, jnp.inf).min(),
+                    jnp.where(covered[:, None], target, -jnp.inf).max(),
+                )
                 return total, aux
 
             n_all = sum(sizes)
 
             @jax.jit
-            def solve(flat_t, oh_t, counts):
+            def solve(flat_t, oh_t, counts, mask_t, strue_t, denom):
                 params = (
                     jnp.ones((n_all,), jnp.float32),
                     jnp.zeros((n_all,), jnp.float32),
@@ -221,7 +270,7 @@ class DepthAligner:
                 def step(carry, _):
                     params, state = carry
                     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                        params, flat_t, oh_t, counts
+                        params, flat_t, oh_t, counts, mask_t, strue_t, denom
                     )
                     updates, state = opt.update(grads, state)
                     params = optax.apply_updates(params, updates)
@@ -234,8 +283,11 @@ class DepthAligner:
 
             _SOLVE_CACHE[key] = solve
 
+        p_dim = flat[0].shape[-1]
+        denom = float(sum(v.shape[1] for v in flat) * seq_len * p_dim)
         (s_all, t_all), history = _SOLVE_CACHE[key](
-            tuple(flat), tuple(onehots), counts
+            tuple(flat), tuple(onehots), counts, tuple(masks),
+            tuple(jnp.float32(s) for s in s_true), jnp.float32(denom),
         )
         bounds = np.concatenate([[0], np.cumsum([v.shape[0] for v in flat])])
         s_list = [s_all[bounds[i] : bounds[i + 1]] for i in range(len(flat))]
@@ -243,33 +295,39 @@ class DepthAligner:
         return s_list, t_list, history
 
     # ------------------------------------------------------------------
-    def _merge(self, snippet_ls, index_mats, scales, translations, seq_len: int) -> jnp.ndarray:
+    def _merge(self, snippet_ls, index_mats, s_pads, scales, translations,
+               seq_len: int, t_pad: int) -> jnp.ndarray:
         """Apply (s, t) at full res; average covering windows per frame
-        (depth_aligner.py:231-262) — as a one-hot matmul (MXU stream)."""
+        (depth_aligner.py:231-262) — as a one-hot matmul (MXU stream).
+
+        Inputs are bucket-padded ([S_pad] rows, [t_pad] frames): padded
+        windows have zero one-hot columns, padded frames zero counts
+        (clamped); the caller slices the [t_pad] output to seq_len."""
         c, h, w = snippet_ls[0].shape[-3:]
         onehots = []
-        counts = np.zeros((seq_len,), np.float32)
-        for idx in index_mats:
+        counts = np.zeros((t_pad,), np.float32)
+        for idx, s_pad in zip(index_mats, s_pads):
             idx_np = np.asarray(idx)
-            oh = np.zeros((seq_len, idx_np.size), np.float32)
-            oh[idx_np.reshape(-1), np.arange(idx_np.size)] = 1.0
+            s_g, w_g = idx_np.shape
+            oh = np.zeros((t_pad, s_pad * w_g), np.float32)
+            oh[idx_np.reshape(-1), np.arange(s_g * w_g)] = 1.0
             onehots.append(jnp.asarray(oh))
-            counts += np.bincount(idx_np.reshape(-1), minlength=seq_len)
+            counts[:seq_len] += np.bincount(idx_np.reshape(-1), minlength=seq_len)
         counts_j = jnp.asarray(counts)
 
-        key = ("merge", tuple(s.shape for s in snippet_ls), seq_len)
+        key = ("merge", tuple(s.shape for s in snippet_ls), t_pad)
         if key not in _MERGE_CACHE:
 
             @jax.jit
             def merge(snippets, oh_t, counts, s_list, t_list):
-                acc = jnp.zeros((seq_len, c * h * w), jnp.float32)
+                acc = jnp.zeros((t_pad, c * h * w), jnp.float32)
                 for v, oh, s, t in zip(snippets, oh_t, s_list, t_list):
                     a = v * s[:, None, None, None, None] + t[:, None, None, None, None]
                     acc = acc + oh @ a.reshape(-1, c * h * w)
-                return (acc / counts[:, None]).reshape(seq_len, c, h, w)
+                return (acc / jnp.maximum(counts, 1.0)[:, None]).reshape(t_pad, c, h, w)
 
             _MERGE_CACHE[key] = merge
 
         return _MERGE_CACHE[key](
             tuple(snippet_ls), tuple(onehots), counts_j, tuple(scales), tuple(translations)
-        )
+        )[:seq_len]

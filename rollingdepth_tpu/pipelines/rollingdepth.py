@@ -38,6 +38,14 @@ from ..models.unet import UNet2DCondition, unet_apply
 from ..models.vae import AutoencoderKL
 from ..schedulers.ddim import DDIMScheduler
 from ..io.video import load_video_frames
+from .chunking import (
+    FRAME_CAPACITY,
+    capacity as _capacity,
+    cat_rows,
+    chunks_of,
+    pad_zeros_dev,
+    row_capacity,
+)
 from .snippets import cap_max_dilation, current_gap, snippet_index_matrix
 
 logger = logging.getLogger(__name__)
@@ -83,20 +91,16 @@ def _pad_rows(x: np.ndarray, target: int) -> np.ndarray:
 
 
 def _pick_chunk(s: int, max_chunk: int, dp: int = 1) -> int:
-    """Largest chunk size <= max_chunk whose padding waste stays small.
+    """Chunk size for ``s`` work items: ``max_chunk`` whenever s reaches it.
 
-    E.g. 22 snippets with max 16 would pad to 32 (45% wasted compute);
-    chunk 8 pads to 24 instead."""
-    hi = max(1, min(max_chunk, s))
-    lo = max(1, hi // 2)  # chunks below half-size underutilize the MXU
-    best, best_waste = hi, float("inf")
-    for cand in range(hi, lo - 1, -1):
-        waste = (-s) % (cand * dp)
-        if waste < best_waste:
-            best, best_waste = cand, waste
-        if waste == 0:
-            break
-    return best
+    The chunk size must NOT be derived from s beyond the small-s clamp —
+    a length-dependent chunk (round 2 minimized padding per clip) forces a
+    full UNet/VAE recompile for every new clip length, which costs minutes
+    where the padding it saved costs milliseconds.  Small s clamps to the
+    next multiple of 4 so tiny test workloads stay tiny."""
+    if s >= max_chunk:
+        return max_chunk
+    return max(1, min(max_chunk, -(-s // 4) * 4))
 
 
 def _sync(x: jnp.ndarray) -> None:
@@ -105,18 +109,8 @@ def _sync(x: jnp.ndarray) -> None:
     np.asarray(jax.device_get(x.ravel()[0]))
 
 
-# Gather sources (per-frame latents) are zero-padded to a multiple of this
-# bucket, so the compute-heavy chunk programs are keyed by the BUCKET, not the
-# clip length: any clip up to 256 frames reuses one set of compiled programs
-# (the reference handles arbitrary clip lengths with zero recompilation,
-# /root/reference/run_video.py:550-585 — this is the XLA-static-shape
-# equivalent).  Latents are tiny (a 256-frame 768p source is ~11 MB bf16), so
-# the padding is free; compute-chunk sizes still track the TRUE length.
-FRAME_CAPACITY = 256
-
-
-def _capacity(n: int) -> int:
-    return FRAME_CAPACITY * (-(-n // FRAME_CAPACITY))
+# FRAME_CAPACITY / _capacity re-exported from .chunking (shared with the
+# relight pipeline)
 
 
 def _upload(arr: np.ndarray, streams: int = 4) -> jnp.ndarray:
@@ -541,112 +535,125 @@ class RollingDepthPipeline:
     # pad/slice/concat glue (the reference runs any length with zero
     # recompilation, run_video.py:550-585).
     # ------------------------------------------------------------------
-    def _pad_rows_dev(self, x: jnp.ndarray, target: int) -> jnp.ndarray:
-        """Pad axis 0 to ``target`` by repeating the last row (on device)."""
-        if x.shape[0] >= target:
-            return x
-        key = ("padrows", x.shape, target, str(x.dtype))
-        if key not in self._jit_cache:
-            pad = target - x.shape[0]
-            self._jit_cache[key] = jax.jit(
-                lambda x: jnp.concatenate(
-                    [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0
-                )
-            )
-        return self._jit_cache[key](x)
-
     def _pad_zeros_dev(self, x: jnp.ndarray, target: int) -> jnp.ndarray:
-        """Zero-pad axis 0 to ``target`` (gather-source capacity padding)."""
-        if x.shape[0] >= target:
-            return x
-        key = ("padzeros", x.shape, target, str(x.dtype))
-        if key not in self._jit_cache:
-            pad_shape = (target - x.shape[0],) + x.shape[1:]
-            self._jit_cache[key] = jax.jit(
-                lambda x: jnp.concatenate(
-                    [x, jnp.zeros(pad_shape, x.dtype)], axis=0
-                )
-            )
-        return self._jit_cache[key](x)
+        return pad_zeros_dev(self._jit_cache, x, target)
 
     def _chunks(self, x: jnp.ndarray, rows: int):
-        """Yield [rows, ...] chunks of x; the ragged tail repeats the last
-        row.  The slice program takes the offset as an OPERAND, so one
-        compile serves every chunk position."""
-        n = x.shape[0]
-        n_pad = n + ((-n) % rows)
-        x = self._pad_rows_dev(x, n_pad)
-        key = ("slice", x.shape, rows, str(x.dtype))
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda x, i: jax.lax.dynamic_slice_in_dim(x, i, rows, 0)
-            )
-        if n_pad == rows:
-            yield x
-            return
-        for i in range(0, n_pad, rows):
-            yield self._jit_cache[key](x, i)
+        return chunks_of(self._jit_cache, x, rows)
 
     @staticmethod
     def _cat_rows(outs: List[jnp.ndarray]) -> jnp.ndarray:
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return cat_rows(outs)
 
     def _encode_frames(self, frames: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
-        """[N, H, W, 3] -> [N, h, w, 4] scaled latents (per-chunk program)."""
+        """[N, H, W, 3] -> [N, h, w, 4] scaled latents.
+
+        ONE dispatch: a jitted fori_loop runs a DYNAMIC number of fixed-size
+        encode chunks over a bucket-padded buffer — the program is keyed by
+        (frame shape, bs, bucket), never the clip length, and a clip of any
+        length in the bucket reuses it with zero host-loop overhead."""
         n = frames.shape[0]
-        bs = min(vae_bs, n)
-        key = ("encode", frames.shape[1:], bs)
+        bs = _pick_chunk(n, vae_bs)
+        n_pad = n + ((-n) % bs)
+        ncap = row_capacity(n_pad)
+        src = self._pad_zeros_dev(frames, ncap)
+        key = ("encode", frames.shape[1:], bs, ncap)
         if key not in self._jit_cache:
             vae = self.vae
-            self._jit_cache[key] = jax.jit(lambda params, x: vae.encode_mean(params, x))
-        fn = self._jit_cache[key]
-        outs = [fn(self.vae_params, c) for c in self._chunks(frames, bs)]
-        return self._cat_rows(outs)[:n]
+            lat_sd = jax.eval_shape(
+                lambda p, c: vae.encode_mean(p, c),
+                self.vae_params,
+                jax.ShapeDtypeStruct((bs,) + frames.shape[1:], frames.dtype),
+            )
+
+            @jax.jit
+            def fn(params, x, nchunks):
+                def body(i, buf):
+                    c = jax.lax.dynamic_slice_in_dim(x, i * bs, bs, 0)
+                    z = vae.encode_mean(params, c)
+                    return jax.lax.dynamic_update_slice_in_dim(buf, z, i * bs, 0)
+
+                buf = jnp.zeros((ncap,) + lat_sd.shape[1:], lat_sd.dtype)
+                return jax.lax.fori_loop(0, nchunks, body, buf)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](self.vae_params, src, n_pad // bs)[:n]
 
     def _decode_depth(self, latents: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
         """[N, h, w, 4] -> [N, H, W] depth (channel-mean, reference :737).
 
-        With a mesh, each chunk is dp-sharded like the denoise pass."""
+        ONE dispatch (dynamic chunk count, bucket-keyed program); with a
+        mesh each chunk is dp-sharded like the denoise pass."""
         n = latents.shape[0]
         dp = self.mesh.shape["dp"] if self.mesh is not None else 1
-        bs = min(vae_bs, n)
+        bs = _pick_chunk(n, vae_bs)
         rows = bs * dp
-        key = ("decode", latents.shape[1:], bs, dp)
+        n_pad = n + ((-n) % rows)
+        ncap = row_capacity(n_pad)
+        src = self._pad_zeros_dev(latents, ncap)
+        key = ("decode", latents.shape[1:], bs, dp, ncap)
         if key not in self._jit_cache:
             vae = self.vae
             mesh = self.mesh
+            img_sd = jax.eval_shape(
+                lambda p, c: vae.decode(p, c),
+                self.vae_params,
+                jax.ShapeDtypeStruct((rows,) + latents.shape[1:], latents.dtype),
+            )
 
             @jax.jit
-            def fn(params, z):  # [rows, h, w, 4]
+            def fn(params, z, nchunks):
                 def dec(c):
                     return vae.decode(params, c).mean(axis=-1)
 
-                if mesh is None:
-                    return dec(z)
-                from jax.sharding import PartitionSpec as P
+                def body(i, buf):
+                    c = jax.lax.dynamic_slice_in_dim(z, i * rows, rows, 0)
+                    if mesh is None:
+                        img = dec(c)
+                    else:
+                        from jax.sharding import PartitionSpec as P
 
-                return jax.shard_map(
-                    dec, mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
-                    check_vma=False, axis_names=frozenset({"dp"}),
-                )(z)
+                        img = jax.shard_map(
+                            dec, mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
+                            check_vma=False, axis_names=frozenset({"dp"}),
+                        )(c)
+                    return jax.lax.dynamic_update_slice_in_dim(buf, img, i * rows, 0)
+
+                buf = jnp.zeros((ncap,) + img_sd.shape[1:3], img_sd.dtype)
+                return jax.lax.fori_loop(0, nchunks, body, buf)
 
             self._jit_cache[key] = fn
-        fn = self._jit_cache[key]
-        outs = [fn(self.vae_params, c) for c in self._chunks(latents, rows)]
-        return self._cat_rows(outs)[:n]
+        return self._jit_cache[key](self.vae_params, src, n_pad // rows)[:n]
 
     def _decode_rgb(self, latents: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
         """[N, h, w, 4] -> [N, H, W, 3] full RGB decode (no channel mean) —
         the relight/passthrough decode variant (rollingimg decode_rgb)."""
         n = latents.shape[0]
-        bs = min(vae_bs, n)
-        key = ("decode_rgb", latents.shape[1:], bs)
+        bs = _pick_chunk(n, vae_bs)
+        n_pad = n + ((-n) % bs)
+        ncap = row_capacity(n_pad)
+        src = self._pad_zeros_dev(latents, ncap)
+        key = ("decode_rgb", latents.shape[1:], bs, ncap)
         if key not in self._jit_cache:
             vae = self.vae
-            self._jit_cache[key] = jax.jit(lambda params, z: vae.decode(params, z))
-        fn = self._jit_cache[key]
-        outs = [fn(self.vae_params, c) for c in self._chunks(latents, bs)]
-        return self._cat_rows(outs)[:n]
+            img_sd = jax.eval_shape(
+                lambda p, c: vae.decode(p, c),
+                self.vae_params,
+                jax.ShapeDtypeStruct((bs,) + latents.shape[1:], latents.dtype),
+            )
+
+            @jax.jit
+            def fn(params, z, nchunks):
+                def body(i, buf):
+                    c = jax.lax.dynamic_slice_in_dim(z, i * bs, bs, 0)
+                    img = vae.decode(params, c)
+                    return jax.lax.dynamic_update_slice_in_dim(buf, img, i * bs, 0)
+
+                buf = jnp.zeros((ncap,) + img_sd.shape[1:], img_sd.dtype)
+                return jax.lax.fori_loop(0, nchunks, body, buf)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](self.vae_params, src, n_pad // bs)[:n]
 
     def _infer_snippets(
         self,
@@ -670,12 +677,13 @@ class RollingDepthPipeline:
         sb = _pick_chunk(s, self.snippet_batch, dp)
         rows = sb * dp
         s_pad = s + ((-s) % rows)
-        idx = _pad_rows(index_matrix, s_pad)  # host-side [s_pad, n]
+        scap = row_capacity(s_pad)
+        idx = jnp.asarray(_pad_rows(index_matrix, scap))  # [scap, n]
         timesteps = jnp.asarray(self.scheduler.timesteps(infer_steps))
         cap = _capacity(rgb_latent.shape[0])
         src = self._pad_zeros_dev(rgb_latent, cap)
 
-        key = ("infer", rgb_latent.shape[1:], n, sb, dp, infer_steps, cap)
+        key = ("infer", rgb_latent.shape[1:], n, sb, dp, infer_steps, cap, scap)
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
@@ -683,9 +691,7 @@ class RollingDepthPipeline:
             mesh = self.mesh
 
             @jax.jit
-            def fn(unet_params, text, src, idx_chunk, noise_single, ts):
-                snippets = jnp.take(src, idx_chunk, axis=0)  # [rows, n, h, w, 4]
-
+            def fn(unet_params, text, src, idx, noise_single, ts, nchunks):
                 def denoise_chunk(rgb_chunk):  # [sb, n, h, w, 4]
                     noise = jnp.broadcast_to(noise_single, rgb_chunk.shape).astype(dtype)
 
@@ -703,32 +709,39 @@ class RollingDepthPipeline:
                     depth_lat, _ = jax.lax.scan(body, noise, ts)
                     return depth_lat  # [sb, n, h, w, 4]
 
-                if mesh is None:
-                    return denoise_chunk(snippets)
-                from jax.sharding import PartitionSpec as P
+                def chunk_body(i, buf):
+                    idx_c = jax.lax.dynamic_slice_in_dim(idx, i * rows, rows, 0)
+                    snippets = jnp.take(src, idx_c, axis=0)  # [rows, n, h, w, 4]
+                    if mesh is None:
+                        lat = denoise_chunk(snippets)
+                    else:
+                        from jax.sharding import PartitionSpec as P
 
-                # manual over dp (disjoint snippet rows per device group);
-                # any other mesh axis (tp) is left to GSPMD — params placed
-                # with unet_param_sharding get Megatron-split attention/MLP
-                # matmuls + psum inside each dp shard automatically
-                return jax.shard_map(
-                    denoise_chunk,
-                    mesh=mesh,
-                    in_specs=P("dp"),
-                    out_specs=P("dp"),
-                    check_vma=False,
-                    axis_names=frozenset({"dp"}),
-                )(snippets)
+                        # manual over dp (disjoint snippet rows per device
+                        # group); any other mesh axis (tp) is left to GSPMD —
+                        # params placed with unet_param_sharding get
+                        # Megatron-split attention/MLP matmuls + psum inside
+                        # each dp shard automatically
+                        lat = jax.shard_map(
+                            denoise_chunk,
+                            mesh=mesh,
+                            in_specs=P("dp"),
+                            out_specs=P("dp"),
+                            check_vma=False,
+                            axis_names=frozenset({"dp"}),
+                        )(snippets)
+                    return jax.lax.dynamic_update_slice_in_dim(buf, lat, i * rows, 0)
+
+                buf = jnp.zeros((scap, n) + src.shape[1:], dtype)
+                return jax.lax.fori_loop(0, nchunks, chunk_body, buf)
 
             self._jit_cache[key] = fn
 
-        fn = self._jit_cache[key]
-        outs = [
-            fn(self.unet_params, self.empty_text_embed, src,
-               jnp.asarray(idx[i : i + rows]), init_noise_single, timesteps)
-            for i in range(0, s_pad, rows)
-        ]
-        return self._cat_rows(outs)[:s]  # [S, n, h, w, 4]
+        out = self._jit_cache[key](
+            self.unet_params, self.empty_text_embed, src, idx,
+            init_noise_single, timesteps, s_pad // rows,
+        )
+        return out[:s]  # [S, n, h, w, 4]
 
     def _refine(
         self,
@@ -763,12 +776,13 @@ class RollingDepthPipeline:
             true_counts.append(m.shape[0])
         dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         s_max = max(true_counts)
-        sb = min(self.snippet_batch, s_max)
+        sb = _pick_chunk(s_max, self.snippet_batch, dp)
         rows = sb * dp
         s_pad = s_max + ((-s_max) % rows)
-        idx_steps = [_pad_rows(m, s_pad) for m in idx_list]  # [S_pad, n] each
+        scap = row_capacity(s_pad)
+        idx_steps = [_pad_rows(m, scap) for m in idx_list]  # [scap, n] each
         mask_steps = [
-            (np.arange(s_pad) < c).astype(np.float32) for c in true_counts
+            (np.arange(scap) < c).astype(np.float32) for c in true_counts
         ]
 
         cap = _capacity(seq_len)
@@ -776,7 +790,10 @@ class RollingDepthPipeline:
         lat_shape = rgb_latent.shape[1:]  # (h, w, 4)
         n = snippet_len
 
-        key = ("refine_chunk", lat_shape, n, sb, dp, total_steps, cap)
+        # ONE dispatch per refinement pass: gather + UNet + DDIM step +
+        # mask-weighted scatter-average over a dynamic number of fixed-size
+        # chunks, keyed by (chunk, n, h, w, buckets) — never seq_len
+        key = ("refine_step", lat_shape, n, sb, dp, total_steps, cap, scap)
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
@@ -784,10 +801,7 @@ class RollingDepthPipeline:
             mesh = self.mesh
 
             @jax.jit
-            def chunk_fn(unet_params, text, src_rgb, src_depth, idx_chunk, mask_chunk, t, acc, cnt):
-                rgb_s = jnp.take(src_rgb, idx_chunk, axis=0)  # [rows, n, h, w, 4]
-                depth_s = jnp.take(src_depth, idx_chunk, axis=0)
-
+            def step_fn(unet_params, text, src_rgb, src_depth, idx, mask, t, nchunks):
                 def denoise_chunk(args):
                     rgb_chunk, depth_chunk = args  # [sb, n, h, w, 4]
                     x = jnp.concatenate([rgb_chunk, depth_chunk], axis=-1)
@@ -800,58 +814,55 @@ class RollingDepthPipeline:
                     )
                     return prev
 
-                if mesh is None:
-                    preds = denoise_chunk((rgb_s, depth_s))
-                else:
-                    from jax.sharding import PartitionSpec as P
+                def chunk_body(i, carry):
+                    acc, cnt = carry
+                    idx_c = jax.lax.dynamic_slice_in_dim(idx, i * rows, rows, 0)
+                    mask_c = jax.lax.dynamic_slice_in_dim(mask, i * rows, rows, 0)
+                    rgb_s = jnp.take(src_rgb, idx_c, axis=0)  # [rows, n, h, w, 4]
+                    depth_s = jnp.take(src_depth, idx_c, axis=0)
+                    if mesh is None:
+                        preds = denoise_chunk((rgb_s, depth_s))
+                    else:
+                        from jax.sharding import PartitionSpec as P
 
-                    preds = jax.shard_map(
-                        denoise_chunk,
-                        mesh=mesh,
-                        in_specs=P("dp"),
-                        out_specs=P("dp"),
-                        check_vma=False,
-                        axis_names=frozenset({"dp"}),
-                    )((rgb_s, depth_s))
+                        preds = jax.shard_map(
+                            denoise_chunk,
+                            mesh=mesh,
+                            in_specs=P("dp"),
+                            out_specs=P("dp"),
+                            check_vma=False,
+                            axis_names=frozenset({"dp"}),
+                        )((rgb_s, depth_s))
 
-                # mask-weighted overlap scatter (reference :586-629)
-                wmask = mask_chunk[:, None]
-                flat_idx = idx_chunk.reshape(-1)
-                acc = acc.at[flat_idx].add(
-                    (preds * wmask[:, :, None, None, None]).reshape(
-                        (-1,) + preds.shape[2:]
+                    # mask-weighted overlap scatter (reference :586-629)
+                    wmask = mask_c[:, None]
+                    flat_idx = idx_c.reshape(-1)
+                    acc = acc.at[flat_idx].add(
+                        (preds * wmask[:, :, None, None, None]).reshape(
+                            (-1,) + preds.shape[2:]
+                        )
                     )
-                )
-                cnt = cnt.at[flat_idx].add(
-                    jnp.broadcast_to(wmask, idx_chunk.shape).reshape(-1)
-                )
-                return acc, cnt
+                    cnt = cnt.at[flat_idx].add(
+                        jnp.broadcast_to(wmask, idx_c.shape).reshape(-1)
+                    )
+                    return acc, cnt
 
-            self._jit_cache[key] = chunk_fn
-        chunk_fn = self._jit_cache[key]
-
-        zkey = ("refine_zero", lat_shape, cap)
-        if zkey not in self._jit_cache:
-            self._jit_cache[zkey] = jax.jit(
-                lambda: (
-                    jnp.zeros((cap,) + lat_shape, jnp.float32),
-                    jnp.zeros((cap,), jnp.float32),
-                )
-            )
-        akey = ("refine_avg", lat_shape, cap)
-        if akey not in self._jit_cache:
-            dtype = self.dtype
-            # frames covered by no refine window (possible with
-            # cap_dilation=False on short clips) keep their previous latent
-            # instead of propagating 0/0 NaNs; the reference asserts coverage
-            # instead (rollingdepth_pipeline.py:628)
-            self._jit_cache[akey] = jax.jit(
-                lambda acc, cnt, old: jnp.where(
-                    cnt[:, None, None, None] > 0,
-                    acc / jnp.maximum(cnt[:, None, None, None], 1.0),
-                    old.astype(jnp.float32),
+                acc = jnp.zeros(src_depth.shape, jnp.float32)
+                cnt = jnp.zeros((src_depth.shape[0],), jnp.float32)
+                acc, cnt = jax.lax.fori_loop(0, nchunks, chunk_body, (acc, cnt))
+                # frames covered by no refine window (possible with
+                # cap_dilation=False on short clips) keep their previous
+                # latent instead of propagating 0/0 NaNs; the reference
+                # asserts coverage instead (rollingdepth_pipeline.py:628)
+                cnt4 = cnt[:, None, None, None]
+                return jnp.where(
+                    cnt4 > 0, acc / jnp.maximum(cnt4, 1.0),
+                    src_depth.astype(jnp.float32),
                 ).astype(dtype)
-            )
+
+            self._jit_cache[key] = step_fn
+        step_fn = self._jit_cache[key]
+
         nkey = ("refine_noise", depth_latent.shape)
         if nkey not in self._jit_cache:
             scheduler = self.scheduler
@@ -868,16 +879,15 @@ class RollingDepthPipeline:
         depth_cap = self._pad_zeros_dev(depth_new, cap)  # [cap, h, w, 4]
 
         for i_step in range(n_steps):
-            acc, cnt = self._jit_cache[zkey]()
-            t = jnp.asarray(timesteps[i_step])
-            for i in range(0, s_pad, rows):
-                acc, cnt = chunk_fn(
-                    self.unet_params, self.empty_text_embed, src_rgb, depth_cap,
-                    jnp.asarray(idx_steps[i_step][i : i + rows]),
-                    jnp.asarray(mask_steps[i_step][i : i + rows]),
-                    t, acc, cnt,
-                )
-            # padded frames have cnt 0 and keep their zeros — sliced off below
-            depth_cap = self._jit_cache[akey](acc, cnt, depth_cap)
+            # dynamic chunk count per step: annealed-gap steps have fewer
+            # true windows, and masked rows beyond the last needed chunk are
+            # never computed at all
+            c_true = true_counts[i_step]
+            nchunks = (c_true + ((-c_true) % rows)) // rows
+            depth_cap = step_fn(
+                self.unet_params, self.empty_text_embed, src_rgb, depth_cap,
+                jnp.asarray(idx_steps[i_step]), jnp.asarray(mask_steps[i_step]),
+                jnp.asarray(timesteps[i_step]), nchunks,
+            )
 
         return depth_cap[:seq_len]

@@ -134,10 +134,18 @@ class StableDiffusionPipeline:
         image: Optional[np.ndarray] = None,  # [B, 3, H, W] in [-1, 1] -> img2img
         strength: float = 0.8,
         output_latents: bool = False,
+        init_noise: Optional[np.ndarray] = None,  # [B, 4, h, w] explicit
+        # Gaussian draw — cross-framework parity hook (replaces the PRNG)
     ) -> np.ndarray:
         """Generate images [B, 3, H, W] in [-1, 1] (or latents)."""
         timesteps, sigmas = self.scheduler.schedule(num_inference_steps)
         key = jax.random.PRNGKey(seed)
+        if init_noise is not None:
+            noise_override = jnp.asarray(
+                np.transpose(np.asarray(init_noise, np.float32), (0, 2, 3, 1))
+            )
+        else:
+            noise_override = None
 
         if image is not None:
             # img2img: encode + noise at the strength-skipped sigma
@@ -146,7 +154,11 @@ class StableDiffusionPipeline:
             t_start = max(num_inference_steps - init_timestep, 0)
             img = jnp.asarray(image.transpose(0, 2, 3, 1), dtype=self.dtype)
             lat0 = self.vae.encode_mean(self.vae_params, img)
-            noise = jax.random.normal(key, lat0.shape, jnp.float32)
+            noise = (
+                noise_override
+                if noise_override is not None
+                else jax.random.normal(key, lat0.shape, jnp.float32)
+            )
             latents = self.scheduler.add_noise(
                 lat0.astype(jnp.float32), noise, jnp.float32(sigmas[t_start])
             ).astype(self.dtype)
@@ -159,9 +171,12 @@ class StableDiffusionPipeline:
             # (diffusers pipeline_stable_diffusion.py:683 scales by 1.0), so
             # t2i init latents are plain N(0,1) — NOT scaled by the raw
             # k-diffusion sigma.
-            latents = jax.random.normal(key, (batch, h, w, 4), jnp.float32).astype(
-                self.dtype
-            )
+            if noise_override is not None:
+                latents = noise_override.astype(self.dtype)
+            else:
+                latents = jax.random.normal(key, (batch, h, w, 4), jnp.float32).astype(
+                    self.dtype
+                )
 
         cond, uncond = self._embed(prompt, negative_prompt, latents.shape[0])
         latents = self._denoise(
