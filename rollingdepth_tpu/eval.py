@@ -30,7 +30,19 @@ logger = logging.getLogger(__name__)
 # scannet 99x90f, bonn_rgbd 5x110f, pointodyssey 250f masked, dydtof sub16
 DEFAULT_SPLIT_DIR = os.path.join(os.path.dirname(__file__), "..", "data_split")
 
-# GT depth decoding: uint16 PNG value -> meters
+# GT depth decoding: uint16 PNG value -> meters.  Sources (the environment
+# ships no GT frames to cross-check against, so the factors are pinned to
+# the datasets' published conventions):
+# - scannet: depth PNGs are millimeters ("depth in millimeters stored as
+#   16-bit", ScanNet data-organization docs) -> 1000
+# - bonn_rgbd: TUM-RGBD-format factor 5000 ("the depth images are scaled by
+#   a factor of 5000", TUM RGB-D dataset file-format docs; the Bonn dynamic
+#   RGB-D dataset states it follows the TUM format)
+# - pointodyssey: depth PNGs encode meters*1000 as uint16 (PointOdyssey
+#   toolkit reads depth/ *.png / 1000.0)
+# - dydtof: depth maps in millimeters (DyDToF paper, ToF sensor convention)
+# tests/test_eval.py::test_gt_depth_scale_semantics locks the table;
+# test_gt_depth_scale_roundtrip exercises the decode path itself.
 DATASET_DEPTH_SCALE = {
     "scannet": 1000.0,
     "bonn_rgbd": 5000.0,  # TUM-format factor

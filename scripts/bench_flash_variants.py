@@ -309,11 +309,14 @@ def main():
         )(q, k, v),
         np.float32,
     )
-    for bq, bk in [(1024, 2048), (512, 2048), (1024, 4096)]:
+    # round-3 sweep: deeper sub-block interleave (subs=4/8 give the
+    # scheduler more independent qk matmuls to hide the VPU softmax), wider
+    # and narrower q tiles, bigger k streams
+    for bq, bk in [(1024, 2048), (512, 2048), (1536, 1024), (512, 4096), (1024, 4096)]:
         for name, fn in [
             ("fused/2", lambda q, k, v: flash_fused(q, k, v, bq, bk, 2)),
-            ("bf16/2 ", lambda q, k, v: flash_bf16(q, k, v, bq, bk, 2)),
-            ("bf16/4 ", lambda q, k, v: flash_bf16(q, k, v, bq, bk, 4)),
+            ("fused/4", lambda q, k, v: flash_fused(q, k, v, bq, bk, 4)),
+            ("fused/8", lambda q, k, v: flash_fused(q, k, v, bq, bk, 8)),
         ]:
             try:
                 out = fn(q, k, v)

@@ -7,60 +7,8 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="module")
-def tiny_sd15_checkpoint(tmp_path_factory, torch_oracle):
-    import torch
-    from diffusers import AutoencoderKL, UNet2DConditionModel
-    from transformers import CLIPTextConfig, CLIPTextModel
-
-    root = tmp_path_factory.mktemp("sd15")
-    torch.manual_seed(0)
-    unet = UNet2DConditionModel(
-        sample_size=8, in_channels=4, out_channels=4,
-        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
-        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
-        block_out_channels=(8, 16), layers_per_block=1,
-        cross_attention_dim=16, attention_head_dim=2, norm_num_groups=4,
-        use_linear_projection=False,  # SD1.5 style
-    )
-    unet.save_pretrained(root / "unet")
-    AutoencoderKL(
-        in_channels=3, out_channels=3,
-        down_block_types=("DownEncoderBlock2D", "DownEncoderBlock2D"),
-        up_block_types=("UpDecoderBlock2D", "UpDecoderBlock2D"),
-        block_out_channels=(8, 16), layers_per_block=1,
-        latent_channels=4, norm_num_groups=4,
-    ).save_pretrained(root / "vae")
-    CLIPTextModel(CLIPTextConfig(
-        vocab_size=512, hidden_size=16, intermediate_size=32,
-        num_hidden_layers=2, num_attention_heads=4,
-        max_position_embeddings=77, hidden_act="quick_gelu",
-    )).save_pretrained(root / "text_encoder")
-
-    from rollingdepth_tpu.io.tokenizer import bytes_to_unicode
-
-    tok_dir = root / "tokenizer"
-    tok_dir.mkdir()
-    vocab = {}
-    for u in bytes_to_unicode().values():
-        vocab[u] = len(vocab)
-    for u in bytes_to_unicode().values():
-        vocab[u + "</w>"] = len(vocab)
-    vocab["<|startoftext|>"] = 510
-    vocab["<|endoftext|>"] = 511
-    with open(tok_dir / "vocab.json", "w") as f:
-        json.dump(vocab, f)
-    with open(tok_dir / "merges.txt", "w") as f:
-        f.write("#version: 0.2\n")
-
-    # IC-Light-style additive offset over the 12-ch-expanded UNet weights
-    from safetensors.numpy import save_file
-    from rollingdepth_tpu.io.weights import expand_conv_in, load_module_state_dict
-
-    sd = expand_conv_in(load_module_state_dict(str(root), "unet"), 12)
-    offset = {k: (0.001 * np.ones_like(v)).astype(np.float32) for k, v in sd.items()}
-    save_file(offset, str(root / "iclight_sd15_fbc.safetensors"))
-    return str(root)
+# tiny_sd15_checkpoint fixture lives in conftest.py (shared with the
+# composed relight parity test)
 
 
 @pytest.fixture(scope="module")

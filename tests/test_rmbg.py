@@ -59,3 +59,27 @@ def test_rmbg_odd_input(torch_rmbg):
     got = np.asarray(outs[0]).transpose(0, 3, 1, 2)
     assert got.shape == tuple(sides_ref[0].shape)
     np.testing.assert_allclose(got, sides_ref[0].numpy(), rtol=5e-3, atol=2e-3)
+
+
+def test_rmbg_sequence_batched_matches_per_frame(torch_rmbg):
+    """The batched run_rmbg_sequence (one compiled program per frame chunk)
+    must reproduce the per-frame run_rmbg loop it replaced (VERDICT r2)."""
+    from rollingdepth_tpu.pipelines.rollingimg import run_rmbg, run_rmbg_sequence
+
+    params = state_dict_to_pytree(torch_rmbg.state_dict())
+    ours = BriaRMBG()
+    rng = np.random.RandomState(3)
+    frames = rng.rand(5, 3, 24, 32).astype(np.float32)  # [N, 3, H, W] in [0,1]
+
+    matted, alphas = run_rmbg_sequence(ours, params, frames, sigma=0.0, chunk=2)
+    assert matted.shape == (5, 3, 24, 32)
+    assert alphas.shape == (5, 1, 24, 32)
+
+    for i in range(5):
+        img = (frames[i].transpose(1, 2, 0) * 255).astype(np.uint8)
+        m_ref, a_ref = run_rmbg(ours, params, img, sigma=0.0)
+        np.testing.assert_allclose(
+            alphas[i], a_ref.transpose(2, 0, 1), atol=1e-4, rtol=1e-4
+        )
+        # per-frame path truncates through uint8; allow one quantum
+        assert np.abs(matted[i] - m_ref.astype(np.float32).transpose(2, 0, 1)).max() <= 1.0
