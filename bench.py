@@ -79,20 +79,19 @@ def kernel_parity_preamble():
     from rollingdepth_tpu.ops.flash_attention import flash_attention
 
     shapes = [
-        # UNet cross-frame attention: L = n*hw at 768p level-0, d=64
-        # (dense XLA scores would be ~9.7 GB -> use the q-chunked reference)
-        ("unet_attn", (2, 15552, 5, 64), 1024, True),
-        # VAE mid-block: single head, d=512, L = 96*54
-        ("vae_mid_attn", (4, 5184, 1, 512), 512, False),
+        # UNet cross-frame attention: L = n*hw at 768p level-0, d=64, the
+        # PRODUCTION max-free kernel config (dense XLA scores would be
+        # ~9.7 GB -> use the q-chunked reference)
+        ("unet_attn", (2, 15552, 5, 64), dict(block_q=512, block_k=4096, no_max=True), True),
+        # VAE mid-block: single head, d=512, L = 96*54 (safe wide kernel)
+        ("vae_mid_attn", (4, 5184, 1, 512), dict(block_q=512, block_k=512), False),
     ]
-    for name, (b, l, h, d), block, chunk_ref in shapes:
+    for name, (b, l, h, d), kw, chunk_ref in shapes:
         kq, kk, kv = jax.random.split(jax.random.PRNGKey(17), 3)
         q = jax.random.normal(kq, (b, l, h, d), jnp.bfloat16)
         k = jax.random.normal(kk, (b, l, h, d), jnp.bfloat16)
         v = jax.random.normal(kv, (b, l, h, d), jnp.bfloat16)
-        got = np.asarray(
-            flash_attention(q, k, v, block_q=block, block_k=block), np.float32
-        )
+        got = np.asarray(flash_attention(q, k, v, **kw), np.float32)
         ref_fn = _chunked_attention if chunk_ref else _xla_attention
         ref = np.asarray(jax.jit(ref_fn)(q, k, v), np.float32)
         err = np.abs(got - ref).max()

@@ -95,6 +95,7 @@ class DepthAligner:
         snippet_ls: Sequence[jnp.ndarray],  # per dilation: [S_g, w_g, C, H, W]
         dilations: Sequence[int],
         restore_shift: bool = False,
+        channels_last: bool = False,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray], jnp.ndarray]:
         """Returns (merged [N, C, H, W], scales, translations, loss_history).
 
@@ -108,21 +109,21 @@ class DepthAligner:
         min-max-normalize afterwards and don't care; the latent-space merge
         (pipelines/rollingdepth.py turbo mode) needs real latents back.
         Aligned windows are ``s*(x - mn) + t``, so the per-frame average is
-        the shifted-space merge plus ``mn`` exactly."""
+        the shifted-space merge plus ``mn`` exactly.
+
+        ``channels_last=True`` takes groups as [S, w, H, W, C] and returns
+        merged [N, H, W, C] — the pipelines' native latent layout, avoiding
+        host-side transposes (dispatch latency on remote transports).
+
+        All preprocessing (min-shift, border crop, subsample, bucket pad)
+        runs inside ONE jitted program per shape bucket; solve and merge are
+        one program each — 3-4 dispatches per call total."""
         cfg = self.config
-        snippet_ls = [jnp.asarray(s, dtype=jnp.float32) for s in snippet_ls]
+        snippet_ls = [jnp.asarray(s) for s in snippet_ls]  # f32 cast in prep
         w0 = snippet_ls[0].shape[1]
         gap0 = dilations[0] - 1
         # N = S_0 + (w0-1)*gap0 + (w0-1)  (depth_aligner.py:72-76)
         seq_len = snippet_ls[0].shape[0] + (w0 - 1) * gap0 + (w0 - 1)
-
-        # global min shift (:78-79)
-        mn = jnp.min(jnp.stack([s.min() for s in snippet_ls]))
-        snippet_ls = [s - mn for s in snippet_ls]
-
-        # border crop + spatial subsample (:82-92); b:-b:f == crop-then-stride
-        b, f = cfg.border, cfg.factor
-        solver_views = [s[:, :, :, b:-b:f, b:-b:f] for s in snippet_ls]
 
         index_mats = [
             snippet_index_matrix(seq_len, s.shape[1], d)
@@ -139,25 +140,44 @@ class DepthAligner:
             for sp, st in zip(s_pads, s_true)
         ]
 
-        def pad_rows(x, target):
-            if x.shape[0] == target:
-                return x
-            widths = [(0, target - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, widths)
+        # ---- jitted prep: global min shift (:78-79), border crop +
+        # spatial subsample (:82-92; b:-b:f == crop-then-stride), row pad
+        b, f = cfg.border, cfg.factor
+        pkey = ("prep", tuple((s.shape, str(s.dtype)) for s in snippet_ls),
+                tuple(s_pads), b, f, channels_last)
+        if pkey not in _SOLVE_CACHE:
+            pads = list(s_pads)
 
-        solver_views = [pad_rows(v, sp) for v, sp in zip(solver_views, s_pads)]
+            @jax.jit
+            def prep(groups):
+                groups = [g.astype(jnp.float32) for g in groups]
+                mn = jnp.min(jnp.stack([g.min() for g in groups]))
+                shifted, views = [], []
+                for g, sp in zip(groups, pads):
+                    g = g - mn
+                    if channels_last:
+                        v = g[:, :, b:-b:f, b:-b:f, :]
+                    else:
+                        v = g[:, :, :, b:-b:f, b:-b:f]
+                    widths = [(0, sp - g.shape[0])] + [(0, 0)] * (g.ndim - 1)
+                    shifted.append(jnp.pad(g, widths))
+                    views.append(
+                        jnp.pad(v, widths).reshape(sp, g.shape[1], -1)
+                    )
+                return mn, tuple(shifted), tuple(views)
+
+            _SOLVE_CACHE[pkey] = prep
+        mn, padded_full, solver_views = _SOLVE_CACHE[pkey](tuple(snippet_ls))
 
         scales, translations, history = self._optimize(
             solver_views, onehots, counts, masks, s_true, seq_len, t_pad
         )
         merged = self._merge(
-            [pad_rows(s, sp) for s, sp in zip(snippet_ls, s_pads)],
-            index_mats, s_pads, scales, translations, seq_len, t_pad,
+            padded_full, index_mats, s_pads, scales, translations, seq_len,
+            t_pad, mn if restore_shift else None, channels_last,
         )
         scales = [s[:st] for s, st in zip(scales, s_true)]
         translations = [t[:st] for t, st in zip(translations, s_true)]
-        if restore_shift:
-            merged = merged + mn
         return merged, scales, translations, history
 
     # ------------------------------------------------------------------
@@ -296,14 +316,17 @@ class DepthAligner:
 
     # ------------------------------------------------------------------
     def _merge(self, snippet_ls, index_mats, s_pads, scales, translations,
-               seq_len: int, t_pad: int) -> jnp.ndarray:
+               seq_len: int, t_pad: int, mn=None, channels_last: bool = False) -> jnp.ndarray:
         """Apply (s, t) at full res; average covering windows per frame
         (depth_aligner.py:231-262) — as a one-hot matmul (MXU stream).
 
         Inputs are bucket-padded ([S_pad] rows, [t_pad] frames): padded
         windows have zero one-hot columns, padded frames zero counts
-        (clamped); the caller slices the [t_pad] output to seq_len."""
-        c, h, w = snippet_ls[0].shape[-3:]
+        (clamped); the caller slices the [t_pad] output to seq_len.  ``mn``
+        (if given) is the solver's min-shift added back inside the program
+        (restore_shift)."""
+        frame_shape = snippet_ls[0].shape[-3:]  # (C,H,W) or (H,W,C)
+        chw = int(np.prod(frame_shape))
         onehots = []
         counts = np.zeros((t_pad,), np.float32)
         for idx, s_pad in zip(index_mats, s_pads):
@@ -315,19 +338,23 @@ class DepthAligner:
             counts[:seq_len] += np.bincount(idx_np.reshape(-1), minlength=seq_len)
         counts_j = jnp.asarray(counts)
 
-        key = ("merge", tuple(s.shape for s in snippet_ls), t_pad)
+        key = ("merge", tuple(s.shape for s in snippet_ls), t_pad, mn is not None)
         if key not in _MERGE_CACHE:
 
             @jax.jit
-            def merge(snippets, oh_t, counts, s_list, t_list):
-                acc = jnp.zeros((t_pad, c * h * w), jnp.float32)
+            def merge(snippets, oh_t, counts, s_list, t_list, mn_arr):
+                acc = jnp.zeros((t_pad, chw), jnp.float32)
                 for v, oh, s, t in zip(snippets, oh_t, s_list, t_list):
                     a = v * s[:, None, None, None, None] + t[:, None, None, None, None]
-                    acc = acc + oh @ a.reshape(-1, c * h * w)
-                return (acc / jnp.maximum(counts, 1.0)[:, None]).reshape(t_pad, c, h, w)
+                    acc = acc + oh @ a.reshape(-1, chw)
+                out = acc / jnp.maximum(counts, 1.0)[:, None]
+                if mn_arr is not None:
+                    out = out + mn_arr
+                return out.reshape((t_pad,) + frame_shape)
 
             _MERGE_CACHE[key] = merge
 
         return _MERGE_CACHE[key](
-            tuple(snippet_ls), tuple(onehots), counts_j, tuple(scales), tuple(translations)
+            tuple(snippet_ls), tuple(onehots), counts_j, tuple(scales),
+            tuple(translations), mn,
         )[:seq_len]

@@ -81,14 +81,18 @@ def dot_product_attention(
         from .flash_attention import flash_attention
 
         # wide heads (VAE mid-block: single head, d=512) halve the tile so
-        # q/k/v blocks + fp32 accumulator stay within the VMEM budget;
-        # narrow heads take a 2048-deep k block (fewer online-softmax
-        # rescales, measured fastest at the UNet d=64 shape)
+        # q/k/v blocks + fp32 accumulator stay within the VMEM budget and
+        # keep the safe online-softmax kernel; narrow heads (the UNet
+        # snippet attention over GroupNorm-scaled activations — scores are
+        # bounded orders of magnitude inside exp2's fp32 range) take the
+        # MAX-FREE kernel at its measured-fastest tiling (58 vs 53 TF/s at
+        # [2,15552,5,64]; see _flash_kernel_packed_nomax's safety contract
+        # and scripts/bench_flash_variants.py)
         if q.shape[-1] > 256:
-            bq, bk = 512, 512
-        else:
-            bq, bk = 1024, 2048
-        return flash_attention(q, k, v, scale=scale, block_q=bq, block_k=bk)
+            return flash_attention(q, k, v, scale=scale, block_q=512, block_k=512)
+        return flash_attention(
+            q, k, v, scale=scale, block_q=512, block_k=4096, no_max=True
+        )
     # bound memory for long sequences on the non-flash path
     if q.shape[1] * k.shape[1] > 8_388_608 and q.shape[1] > 4096:
         return _chunked_attention(q, k, v, scale=scale)

@@ -416,19 +416,16 @@ class RollingDepthPipeline:
             lat_kwargs: Dict[str, Any] = {"factor": 3, "depth_loss_weight": 0.0}
             lat_kwargs.update(latent_coalign_kwargs or {})
             aligner = DepthAligner(AlignerConfig(**lat_kwargs), verbose=verbose)
-            lat_snips = [
-                jnp.transpose(l, (0, 1, 4, 2, 3)).astype(jnp.float32) for l in lat_ls
-            ]  # [S, n, 4, h, w]
+            # latents stay in their native [S, n, h, w, 4] layout — the
+            # aligner's channels_last path avoids two full transposes
             merged_lat, scales, translations, loss_history = aligner.run(
-                lat_snips, dilations, restore_shift=True
-            )  # [N, 4, h, w]
+                lat_ls, dilations, restore_shift=True, channels_last=True
+            )  # [N, h, w, 4]
             if verbose:
                 _sync(merged_lat)
             timings["coalign"] = time.perf_counter() - t0
             t0 = time.perf_counter()
-            depth = self._decode_depth(
-                jnp.transpose(merged_lat, (0, 2, 3, 1)).astype(self.dtype), max_vae_bs
-            )  # [N, H, W]
+            depth = self._decode_depth(merged_lat.astype(self.dtype), max_vae_bs)  # [N, H, W]
             depth_coaligned = depth[:, None].astype(jnp.float32)
             if verbose:
                 _sync(depth_coaligned)
@@ -464,9 +461,13 @@ class RollingDepthPipeline:
                 _sync(depth_coaligned)
             timings["coalign"] = time.perf_counter() - t0
 
-        depth_coaligned = depth_coaligned - depth_coaligned.min()
-        depth_coaligned = depth_coaligned / depth_coaligned.max()
-        depth_coaligned = depth_coaligned * 2.0 - 1.0  # [N, 1, H, W]
+        # min-max renormalize to [-1, 1] (reference :315-318) as ONE program
+        nkey = ("minmax_norm", depth_coaligned.shape, str(depth_coaligned.dtype))
+        if nkey not in self._jit_cache:
+            self._jit_cache[nkey] = jax.jit(
+                lambda x: ((x - x.min()) / (x.max() - x.min())) * 2.0 - 1.0
+            )
+        depth_coaligned = self._jit_cache[nkey](depth_coaligned)  # [N, 1, H, W]
         t0 = time.perf_counter()
 
         # ---- refinement (reference :323-343)

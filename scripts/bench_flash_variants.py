@@ -280,6 +280,160 @@ def flash_bf16(q, k, v, block_q=1024, block_k=2048, subs=2):
     return out[:, :l_q, :].reshape(b, h, l_q, d).transpose(0, 2, 1, 3)
 
 
+def _kernel_nomax(q_ref, k_ref, v_ref, o_ref, acc_ref, *, scale, l_k, block_k, subs, d, bf16_exp=False):
+    """NO running max: p = exp2(s) directly (1 VPU op per score instead of
+    3 — no max reduce, no subtract, no acc rescale).  Safe when |s| stays
+    well under the fp32 exp2 range (|q.k|*scale < 127): GroupNorm-bounded
+    UNet activations give |s| ~ 15 at d=64.  Underflow flushes tiny
+    probabilities to zero — mathematically a no-op after normalization."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    sub = block_k // subs
+    acc = acc_ref[:]
+    for j in range(subs):
+        k = k_ref[0, j * sub : (j + 1) * sub]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+        if l_k % block_k != 0:
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + ik * block_k + j * sub
+            )
+            s = jnp.where(col < l_k, s, NEG_INF)
+        if bf16_exp:
+            p = jnp.exp2(s.astype(jnp.bfloat16))
+        else:
+            p = jnp.exp2(s).astype(v_ref.dtype)
+        v = v_ref[0, j * sub : (j + 1) * sub]
+        ones = jnp.ones((sub, 128 - d), v.dtype)
+        vv = jnp.concatenate([v, ones], axis=1)
+        acc = acc + jax.lax.dot_general(
+            p, vv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:] = acc
+
+    @pl.when(ik == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:, :d] / acc_ref[:, d : d + 1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "subs", "bf16_exp"))
+def flash_nomax(q, k, v, block_q=1024, block_k=1024, subs=1, bf16_exp=False):
+    b, l_q, h, d = q.shape
+    l_k = k.shape[1]
+    scale = (d ** -0.5) * 1.4426950408889634
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf = _pad_to(fold(q), 1, block_q)
+    kf = _pad_to(fold(k), 1, block_k)
+    vf = _pad_to(fold(v), 1, block_k)
+    lq_pad, lk_pad = qf.shape[1], kf.shape[1]
+
+    grid = (b * h, lq_pad // block_q, lk_pad // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_nomax, scale=scale, l_k=l_k, block_k=block_k, subs=subs, d=d,
+            bf16_exp=bf16_exp,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # acc[:, :d] out, [:, d] sum
+        ],
+    )(qf, kf, vf)
+    return out[:, :l_q, :].reshape(b, h, l_q, d).transpose(0, 2, 1, 3)
+
+
+def _kernel_nomask(q_ref, k_ref, v_ref, o_ref, acc_ref, *, block_k, subs, d):
+    """Minimal-VPU kernel: q pre-scaled OUTSIDE (kills the s*scale mul), no
+    masking (padded V rows and the appended normalizer column are ZERO, so
+    padded keys contribute exactly 0 to numerator and normalizer), no
+    running max (exp2-safe score bound).  Per-score VPU work: exp2 + cast."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # already scaled by log2(e)/sqrt(d)
+    sub = block_k // subs
+    acc = acc_ref[:]
+    for j in range(subs):
+        k = k_ref[0, j * sub : (j + 1) * sub]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp2(s).astype(v_ref.dtype)
+        vv = v_ref[0, j * sub : (j + 1) * sub]  # [sub, 128]: v | zeros-pad tail
+        acc = acc + jax.lax.dot_general(
+            p, vv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:] = acc
+
+    @pl.when(ik == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:, :d] / acc_ref[:, d : d + 1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "subs"))
+def flash_nomask(q, k, v, block_q=1024, block_k=1024, subs=1):
+    b, l_q, h, d = q.shape
+    l_k = k.shape[1]
+    scale = (d ** -0.5) * 1.4426950408889634
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # fold scale into q
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf = _pad_to(fold(q), 1, block_q)
+    kf = _pad_to(fold(k), 1, block_k)
+    vf = _pad_to(fold(v), 1, block_k)
+    lq_pad, lk_pad = qf.shape[1], kf.shape[1]
+    # [bh, lk_pad, 128]: v columns, then the normalizer column (1 for real
+    # keys, 0 for padding) and zero filler — padded keys contribute 0 to
+    # both the PV numerator and the row sum, so no score masking is needed
+    valid = (jnp.arange(lk_pad) < l_k).astype(v.dtype)[None, :, None]
+    tail = jnp.concatenate(
+        [jnp.broadcast_to(valid, (b * h, lk_pad, 1)),
+         jnp.zeros((b * h, lk_pad, 128 - d - 1), v.dtype)], axis=2,
+    )
+    vf = jnp.concatenate([vf * valid, tail], axis=2)  # [bh, lk_pad, 128]
+
+    grid = (b * h, lq_pad // block_q, lk_pad // block_k)
+    out = pl.pallas_call(
+        functools.partial(_kernel_nomask, block_k=block_k, subs=subs, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, block_k, 128), lambda ib, iq, ik: (ib, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # acc[:, :d] out, [:, d] sum
+        ],
+    )(qf, kf, vf)
+    return out[:, :l_q, :].reshape(b, h, l_q, d).transpose(0, 2, 1, 3)
+
+
 def _sync(out):
     np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[0]))
 
@@ -309,14 +463,12 @@ def main():
         )(q, k, v),
         np.float32,
     )
-    # round-3 sweep: deeper sub-block interleave (subs=4/8 give the
-    # scheduler more independent qk matmuls to hide the VPU softmax), wider
-    # and narrower q tiles, bigger k streams
-    for bq, bk in [(1024, 2048), (512, 2048), (1536, 1024), (512, 4096), (1024, 4096)]:
+    # round-3 sweep: no-running-max kernel (1 VPU op/score instead of 3),
+    # deeper sub-block interleave, tile geometry
+    for bq, bk in [(512, 4096), (1024, 2048), (512, 2048), (1024, 1024)]:
         for name, fn in [
-            ("fused/2", lambda q, k, v: flash_fused(q, k, v, bq, bk, 2)),
-            ("fused/4", lambda q, k, v: flash_fused(q, k, v, bq, bk, 4)),
-            ("fused/8", lambda q, k, v: flash_fused(q, k, v, bq, bk, 8)),
+            ("nomask/1", lambda q, k, v: flash_nomask(q, k, v, bq, bk, 1)),
+            ("nomask/2", lambda q, k, v: flash_nomask(q, k, v, bq, bk, 2)),
         ]:
             try:
                 out = fn(q, k, v)

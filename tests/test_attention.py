@@ -43,6 +43,19 @@ def test_flash_packed_production_config(lq, lk):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("lq,lk", [(300, 1537), (1025, 1025), (1024, 4096)])
+def test_flash_nomax_production_config(lq, lk):
+    """The max-free production kernel (UNet dispatch path: block 512/4096,
+    no running max — bounded-score contract) vs XLA, incl. ragged lengths."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(kq, (1, lq, 2, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, lk, 2, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, lk, 2, 64), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    out = flash_attention(q, k, v, None, 512, 4096, True, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
 def test_flash_matches_torch_sdpa(torch_oracle):
     import torch
 
