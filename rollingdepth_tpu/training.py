@@ -34,6 +34,10 @@ class TrainConfig:
     b2: float = 0.999
     grad_clip: float = 1.0
     prediction_type: str = "epsilon"  # epsilon | v_prediction
+    # LR schedule: "constant" | "cosine" (linear warmup, cosine decay to 0)
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 10_000  # cosine horizon
 
 
 class TrainState(NamedTuple):
@@ -42,10 +46,26 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def make_lr_schedule(cfg: TrainConfig):
+    if cfg.lr_schedule == "constant" and cfg.warmup_steps == 0:
+        return cfg.learning_rate
+    if cfg.lr_schedule == "constant":
+        return optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=cfg.total_steps,
+        )
+    raise ValueError(f"lr_schedule {cfg.lr_schedule!r}")
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay),
+        optax.adamw(make_lr_schedule(cfg), b1=cfg.b1, b2=cfg.b2,
+                    weight_decay=cfg.weight_decay),
     )
 
 

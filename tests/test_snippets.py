@@ -69,3 +69,19 @@ def test_full_coverage_property():
     for seq_len, d in [(100, 25), (75, 10), (100, 1)]:
         m = snippet_index_matrix(seq_len, 3, d)
         assert set(np.unique(m)) == set(range(seq_len))
+
+
+def test_pick_chunk_is_length_independent():
+    """Chunk sizes must not be derived from the work count beyond the
+    small-s clamp: a length-dependent chunk recompiles the UNet per clip
+    length (minutes) to save milliseconds of padding."""
+    from rollingdepth_tpu.pipelines.rollingdepth import _pick_chunk
+
+    # any s >= max_chunk gets exactly max_chunk (fixed program)
+    for s in (16, 17, 60, 80, 100, 1000):
+        assert _pick_chunk(s, 16) == 16
+    # small s clamps to the next multiple of 4 (tiny test workloads)
+    assert _pick_chunk(3, 16) == 4
+    assert _pick_chunk(6, 16) == 8
+    assert _pick_chunk(15, 16) == 16
+    assert _pick_chunk(1, 16) == 4
