@@ -116,7 +116,11 @@ def run_depth(args, settings) -> None:
 
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    videos = enumerate_videos(args.input_video)
+    # multi-host runs split the video list per host group (clips are
+    # embarrassingly parallel — no DCN collectives); identity on one host
+    from .parallel.multihost import shard_work
+
+    videos = shard_work(enumerate_videos(args.input_video))
 
     merge_in_latent = settings.merge_in_latent
     if merge_in_latent and args.save_snippets:
@@ -150,6 +154,13 @@ def run_depth(args, settings) -> None:
 
     threading.Thread(target=_decoder, daemon=True).start()
 
+    # device->host fetch + colorize + disk writes of clip k overlap clip
+    # k+1's on-device compute (single worker keeps output order; exceptions
+    # surface on the next iteration's result())
+    import concurrent.futures
+
+    save_pool = concurrent.futures.ThreadPoolExecutor(1)
+    pending = None
     for _ in videos:
         v, frames, orig, err = decode_q.get()
         if err is not None:
@@ -174,7 +185,12 @@ def run_depth(args, settings) -> None:
             restore_res=settings.restore_res,
             merge_in_latent=merge_in_latent,
         )
-        save_depth_outputs(out, video_path, output_dir, args)
+        if pending is not None:
+            pending.result()
+        pending = save_pool.submit(save_depth_outputs, out, video_path, output_dir, args)
+    if pending is not None:
+        pending.result()
+    save_pool.shutdown()
     logging.info("Finished. %d predictions are saved to %s", len(videos), output_dir)
 
 
@@ -227,7 +243,9 @@ def run_relight(args, settings) -> None:
                                  snippet_batch=settings.snippet_batch)
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    fg_videos = enumerate_videos(args.input_fg_video)
+    from .parallel.multihost import shard_work
+
+    fg_videos = shard_work(enumerate_videos(args.input_fg_video))
     bg_videos = enumerate_videos(args.input_bg_video)
     from .pipelines import rollingimg as ri
 

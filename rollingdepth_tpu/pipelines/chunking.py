@@ -40,19 +40,6 @@ def row_capacity(n: int) -> int:
     return ROW_BUCKET * (-(-n // ROW_BUCKET))
 
 
-def pad_rows_dev(cache: Dict[Any, Any], x: jnp.ndarray, target: int) -> jnp.ndarray:
-    """Pad axis 0 to ``target`` by repeating the last row (on device)."""
-    if x.shape[0] >= target:
-        return x
-    key = ("padrows", x.shape, target, str(x.dtype))
-    if key not in cache:
-        pad = target - x.shape[0]
-        cache[key] = jax.jit(
-            lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-        )
-    return cache[key](x)
-
-
 def pad_zeros_dev(cache: Dict[Any, Any], x: jnp.ndarray, target: int) -> jnp.ndarray:
     """Zero-pad axis 0 to ``target`` (gather-source capacity padding)."""
     if x.shape[0] >= target:
@@ -66,24 +53,3 @@ def pad_zeros_dev(cache: Dict[Any, Any], x: jnp.ndarray, target: int) -> jnp.nda
     return cache[key](x)
 
 
-def chunks_of(cache: Dict[Any, Any], x: jnp.ndarray, rows: int):
-    """Yield [rows, ...] chunks of x; the ragged tail repeats the last row.
-    The slice program takes the offset as an OPERAND, so one compile serves
-    every chunk position."""
-    n = x.shape[0]
-    n_pad = n + ((-n) % rows)
-    x = pad_rows_dev(cache, x, n_pad)
-    if n_pad == rows:
-        yield x
-        return
-    key = ("slice", x.shape, rows, str(x.dtype))
-    if key not in cache:
-        cache[key] = jax.jit(
-            lambda x, i: jax.lax.dynamic_slice_in_dim(x, i, rows, 0)
-        )
-    for i in range(0, n_pad, rows):
-        yield cache[key](x, i)
-
-
-def cat_rows(outs: List[jnp.ndarray]) -> jnp.ndarray:
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

@@ -41,8 +41,6 @@ from ..io.video import load_video_frames
 from .chunking import (
     FRAME_CAPACITY,
     capacity as _capacity,
-    cat_rows,
-    chunks_of,
     pad_zeros_dev,
     row_capacity,
 )
@@ -485,6 +483,8 @@ class RollingDepthPipeline:
                 start_dilation=refine_start_dilation,
             )
             depth_dev = self._decode_depth(depth_latent, max_vae_bs)[:, None]  # [N,1,H,W]
+            if verbose and not fetch_output:
+                _sync(depth_dev)  # timing must cover the compute, not dispatch
             if fetch_output:
                 depth_pred = _fetch_f32(depth_dev[:, 0])[:, None]
             timings["refine"] = time.perf_counter() - t0
@@ -538,13 +538,6 @@ class RollingDepthPipeline:
     # ------------------------------------------------------------------
     def _pad_zeros_dev(self, x: jnp.ndarray, target: int) -> jnp.ndarray:
         return pad_zeros_dev(self._jit_cache, x, target)
-
-    def _chunks(self, x: jnp.ndarray, rows: int):
-        return chunks_of(self._jit_cache, x, rows)
-
-    @staticmethod
-    def _cat_rows(outs: List[jnp.ndarray]) -> jnp.ndarray:
-        return cat_rows(outs)
 
     def _encode_frames(self, frames: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
         """[N, H, W, 3] -> [N, h, w, 4] scaled latents.

@@ -160,3 +160,23 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multihost_helpers():
+    """DCN tier: clip-level work sharding + local ICI mesh (single-process
+    degenerates to identity — the CLI uses these unconditionally)."""
+    from rollingdepth_tpu.parallel.multihost import (
+        is_primary_host, local_mesh, shard_work,
+    )
+
+    items = [f"clip{i}" for i in range(7)]
+    # explicit 3-host split: disjoint, round-robin, covers everything
+    shards = [shard_work(items, process_id=p, num_processes=3) for p in range(3)]
+    assert sorted(sum(shards, [])) == sorted(items)
+    assert shards[0] == ["clip0", "clip3", "clip6"]
+    assert all(not set(a) & set(b) for a, b in zip(shards, shards[1:]))
+    # single-process identity
+    assert shard_work(items) == items
+    assert is_primary_host()
+    mesh = local_mesh()
+    assert mesh.shape["dp"] * mesh.shape["tp"] == len(jax.local_devices())
