@@ -118,6 +118,15 @@ def main():
         i = args.index("--mode")
         mode = args[i + 1]
         del args[i : i + 2]
+    sb = vb = 16  # chunk-size experiments: --sb N --vb N
+    if "--sb" in args:
+        i = args.index("--sb")
+        sb = int(args[i + 1])
+        del args[i : i + 2]
+    if "--vb" in args:
+        i = args.index("--vb")
+        vb = int(args[i + 1])
+        del args[i : i + 2]
     n_frames = int(args[0]) if len(args) > 0 else 60
     n_clips = int(args[1]) if len(args) > 1 else 4  # timed clips
     # preset geometry/config (utils/presets.py; reference run_video.py:423-452)
@@ -148,7 +157,7 @@ def main():
     text = jnp.zeros((1, 2, 1024), jnp.bfloat16)
     pipe = RollingDepthPipeline(
         unet, unet_params, vae, vae_params, scheduler, text,
-        dtype=jnp.bfloat16, snippet_batch=16, vae_batch=16,
+        dtype=jnp.bfloat16, snippet_batch=sb, vae_batch=vb,
     )
     print(f"[bench] setup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
@@ -160,7 +169,7 @@ def main():
 
     kwargs = dict(
         dilations=dilations, cap_dilation=True, refine_step=refine_step, seed=0,
-        max_vae_bs=16, fetch_output=False,
+        max_vae_bs=vb, fetch_output=False,
         # fast-preset default since round 3: latent-space co-align + merge,
         # decoding N frames once instead of every snippet frame (drift vs the
         # reference merge bounded by tests/test_e2e_parity.py).  The
