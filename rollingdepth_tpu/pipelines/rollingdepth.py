@@ -670,14 +670,49 @@ class RollingDepthPipeline:
         dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         sb = _pick_chunk(s, self.snippet_batch, dp)
         rows = sb * dp
-        s_pad = s + ((-s) % rows)
-        scap = row_capacity(s_pad)
-        idx = jnp.asarray(_pad_rows(index_matrix, scap))  # [scap, n]
         timesteps = jnp.asarray(self.scheduler.timesteps(infer_steps))
         cap = _capacity(rgb_latent.shape[0])
         src = self._pad_zeros_dev(rgb_latent, cap)
 
-        key = ("infer", rgb_latent.shape[1:], n, sb, dp, infer_steps, cap, scap)
+        def run(idx_np: np.ndarray, sb_c: int) -> jnp.ndarray:
+            s_c = idx_np.shape[0]
+            rows_c = sb_c * dp
+            s_pad = s_c + ((-s_c) % rows_c)
+            fn = self._infer_program(
+                rgb_latent.shape[1:], n, sb_c, dp, infer_steps, cap,
+                row_capacity(s_pad),
+            )
+            idx = jnp.asarray(_pad_rows(idx_np, row_capacity(s_pad)))
+            out = fn(
+                self.unet_params, self.empty_text_embed, src, idx,
+                init_noise_single, timesteps, s_pad // rows_c,
+            )
+            return out[:s_c]
+
+        # Mixed-chunk dispatch: full-size chunks keep the UNet batch at peak
+        # MXU efficiency; a small remainder runs as dynamic trips of ONE
+        # 4-chunk program (a 4-eval trip measures 264 ms vs 740 ms for a full
+        # 16-chunk trip — scripts/bench_infer_chunks.py), so pad waste falls
+        # from up to rows-1 evals to <= 3*dp.  Remainders past 2 small trips
+        # (per-device rem > 8) pad into one more full chunk instead: by the
+        # same measurements that's equally fast and compiles nothing new —
+        # exactly one auxiliary program shape ever exists per config, keeping
+        # new-clip-length compile overhead at zero.
+        s_main = (s // rows) * rows
+        rem = s - s_main
+        tail_sb = 4
+        if s_main == 0 or rem == 0 or -(-rem // dp) > 2 * tail_sb or sb <= tail_sb:
+            logger.debug("infer %d snippets: uniform chunk %d", s, sb)
+            return run(index_matrix, sb)
+        logger.debug("infer %d snippets: mixed %d x %d + tail of %d (chunk %d)",
+                     s, s_main // rows, sb, rem, tail_sb)
+        main = run(index_matrix[:s_main], sb)
+        tail = run(index_matrix[s_main:], tail_sb)
+        return jnp.concatenate([main, tail], axis=0)  # [S, n, h, w, 4]
+
+    def _infer_program(self, lat_hw4, n, sb, dp, infer_steps, cap, scap):
+        rows = sb * dp
+        key = ("infer", lat_hw4, n, sb, dp, infer_steps, cap, scap)
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
@@ -731,11 +766,7 @@ class RollingDepthPipeline:
 
             self._jit_cache[key] = fn
 
-        out = self._jit_cache[key](
-            self.unet_params, self.empty_text_embed, src, idx,
-            init_noise_single, timesteps, s_pad // rows,
-        )
-        return out[:s]  # [S, n, h, w, 4]
+        return self._jit_cache[key]
 
     def _refine(
         self,

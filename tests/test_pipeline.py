@@ -83,6 +83,24 @@ def test_pipeline_latent_merge_turbo(tiny_pipeline):
     assert np.isfinite(turbo_ref.depth_pred).all()
 
 
+def test_mixed_chunk_matches_uniform(tiny_pipeline):
+    """11 snippets at snippet_batch=8 take the mixed-chunk path (one 8-chunk
+    trip + a 4-chunk remainder program); deterministic DDIM denoise must give
+    the same depth as a single uniformly-chunked program."""
+    frames = _frames(n=13)  # dilation [1] -> S = 11 snippets
+    old = tiny_pipeline.snippet_batch
+    try:
+        tiny_pipeline.snippet_batch = 8
+        a = tiny_pipeline.forward(frames, dilations=[1], seed=3)
+        tiny_pipeline.snippet_batch = 16  # small-s clamp -> one 12-chunk
+        b = tiny_pipeline.forward(frames, dilations=[1], seed=3)
+    finally:
+        tiny_pipeline.snippet_batch = old
+    np.testing.assert_allclose(
+        np.asarray(a.depth_pred), np.asarray(b.depth_pred), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_pipeline_deterministic(tiny_pipeline):
     a = tiny_pipeline.forward(_frames(), dilations=[1], seed=7)
     b = tiny_pipeline.forward(_frames(), dilations=[1], seed=7)
