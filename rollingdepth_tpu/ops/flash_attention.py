@@ -61,8 +61,13 @@ def _flash_kernel_packed(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale  # log2 domain: scale includes log2(e)
+        if scale != 1.0:  # scale is normally pre-folded into k (see impl)
+            s = s * scale  # log2 domain: scale includes log2(e)
         if l_k % block_k != 0:
+            # padded-key masking rides the PV ones-column instead of the
+            # scores (see _ones_ext) EXCEPT that the running max must not be
+            # dragged above the real scores' max by the padded s==0 columns
+            # (exp2(s - m) would underflow real rows); mask s only here
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 + ik * block_k
@@ -126,17 +131,26 @@ def _flash_kernel_packed_nomax(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale  # log2 domain
+        if scale != 1.0:  # scale is normally pre-folded into k (see impl)
+            s = s * scale  # log2 domain
+        p = jnp.exp2(s)
+        v = v_ref[0, j * sub : (j + 1) * sub]
+        # Ragged l_k is masked through the PV matmul, NOT the scores: padded
+        # k rows are zeros, so their s == 0 and p == 1 exactly; with the v
+        # rows zero-padded and the appended normalizer column zeroed for
+        # those rows, they contribute exactly 0 to both the output and the
+        # row sum.  This keeps the per-score VPU stream at exp2+cast —
+        # the O(BQ*BK) iota/compare/select mask would otherwise run in
+        # EVERY k iteration whenever l_k isn't a block multiple.
         if l_k % block_k != 0:
-            col = (
-                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (sub, 128 - d), 0)
                 + ik * block_k
                 + j * sub
             )
-            s = jnp.where(col < l_k, s, NEG_INF)
-        p = jnp.exp2(s)
-        v = v_ref[0, j * sub : (j + 1) * sub]
-        ones = jnp.ones((sub, 128 - d), v.dtype)
+            ones = (row < l_k).astype(v.dtype)  # [sub, 128-d], O(BK) work
+        else:
+            ones = jnp.ones((sub, 128 - d), v.dtype)
         vv = jnp.concatenate([v, ones], axis=1)  # [sub, 128]
         acc = acc + jax.lax.dot_general(
             p.astype(v.dtype), vv, (((1,), (0,)), ((), ())),
@@ -167,7 +181,8 @@ def _flash_kernel_wide(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale  # log2 domain
+    if scale != 1.0:  # scale is normally pre-folded into k (see impl)
+        s = s * scale  # log2 domain
 
     if l_k % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
@@ -241,6 +256,17 @@ def _flash_attention_impl(
     qf = _pad_to(fold(q), 1, block_q)
     kf = _pad_to(fold(k), 1, block_k)
     vf = _pad_to(fold(v), 1, block_k)
+    # Fold the softmax scale (incl. log2 e) into k BEFORE the kernel: one
+    # O(L*d) fp32 multiply (fused by XLA into the pad/transpose) replaces an
+    # O(L_q*L_k) per-score VPU multiply inside the kernel — the kernel's VPU
+    # stream drops from mul+exp2+cast to exp2+cast per score.  Rounding
+    # k*scale to bf16 carries the same relative error as bf16 k itself, so
+    # accuracy is unchanged.  Measured speed-NEUTRAL at the production shape
+    # [16,15552,5,64] (73.7 -> 73.8 TF/s): at grid 80 the VPU stream already
+    # overlaps the matmuls fully — kept because it strictly reduces VPU
+    # work and simplifies the kernels (doc/ROADMAP.md flash section).
+    kf = (kf.astype(jnp.float32) * scale).astype(kf.dtype)
+    scale = 1.0
     lq_pad, lk_pad = qf.shape[1], kf.shape[1]
 
     grid = (b * h, lq_pad // block_q, lk_pad // block_k)
