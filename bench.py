@@ -242,7 +242,13 @@ def main():
             up_next = pool.submit(_upload, clips[(i + 1) % len(clips)])
         out = pipe.forward(dev, **kwargs)
         outs.append(out.depth_pred)
-        _sync(out.depth_pred)
+        # double-buffered sync: wait for the PREVIOUS clip only, so the
+        # ~0.3 s of host python + 28 ms-latency dispatches for clip k+1
+        # overlaps clip k's device compute (the device queue never drains);
+        # the final clip is synced after the loop
+        if len(outs) >= 2:
+            _sync(outs[-2])
+    _sync(outs[-1])
     elapsed = time.perf_counter() - t0
     fps = n_clips * n_frames / elapsed
     for dev_out in outs:  # untimed: validate every timed clip's output

@@ -103,6 +103,17 @@ def resolve_args(argv=None):
         and v is not None
     }
     settings = resolve_preset(input_args.preset, overrides)
+    # TPU-tuned execution defaults (only when the user didn't override): the
+    # reference's max_vae_bs=4 suits a 24 GB 3090, but the v5e decoder runs
+    # 27 TF/s at bs4 vs 78+ at bs16 (BASELINE.md conv table), and larger
+    # snippet chunks keep the UNet batch on the MXU's efficient tile sizes
+    import jax
+
+    if jax.default_backend() == "tpu":
+        if "max_vae_bs" not in overrides:
+            settings.max_vae_bs = 16
+        if "snippet_batch" not in overrides:
+            settings.snippet_batch = 16
     return input_args, settings
 
 

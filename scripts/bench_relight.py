@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""On-chip benchmark: the ACTIVE relight (gen-4 RollingImg) pipeline.
+
+Workload = the reference's active path (rollingimg_pipeline.py:465-1464) at
+its fixed 720x640 working resolution: fg/bg VAE encode -> 8-ch conditioning,
+12-ch SD1.5 UNet, 40-step DPM++ 2M SDE-Karras schedule entered at strength
+0.5 (20 UNet evals per snippet), decode of every snippet frame, per-channel
+co-alignment.  Random weights (throughput is weight-independent).  The init
+latents are passed in PRECOMPUTED (``init_latents_override``) to mirror the
+reference, which loads its init from the precomputed ``t2i_latents_8090.pt``
+blob (:789-791) rather than generating it per clip.
+
+Protocol mirrors bench.py: steady-state over consecutive clips with inputs
+uploaded ahead of the timed window and outputs kept on device
+(``fetch_output=False``), fetched + finite-checked after timing.  Prints one
+JSON line {"metric", "value", "unit", "vs_baseline"} where vs_baseline uses
+the same estimated-3090 protocol as bench.py (40% fp16 utilization of
+71 TFLOP/s) with a relight FLOP model built from the ACTUAL snippet counts.
+
+Usage: python scripts/bench_relight.py [n_frames] [n_clips] [--sb N] [--vb N]
+"""
+
+import concurrent.futures
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rollingdepth_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import numpy as np
+
+
+class BenchTokenizer:
+    """Word-hash tokenizer: throughput does not depend on token VALUES, only
+    on the chunked [B, 77] shapes — identical to the real BPE front-end."""
+
+    model_max_length = 77
+    bos_token_id = 49406
+    eos_token_id = 49407
+
+    def tokenize_ids(self, text):
+        return [hash(wtok) % 49000 for wtok in text.split()]
+
+
+def relight_flops_per_clip(n_frames, snippet_counts, snippet_len, steps, h, w):
+    """FLOP model from ACTUAL snippet counts (bench.py MAC->FLOP convention).
+
+    encode: fg+bg per frame; per dilation pass: ``steps`` UNet evals and one
+    decode per snippet FRAME (the reference decodes every snippet frame —
+    no latent-space merge exists on the relight path)."""
+    lat_hw = (h // 8) * (w // 8)
+    unet_eval = 2 * 680e9 * lat_hw / (64 * 64)  # per frame-eval (SD1.5 scale)
+    vae_scale = (h * w) / (512 * 512)
+    enc = 2 * 560e9 * vae_scale
+    dec = 2 * 1150e9 * vae_scale
+    total = 2 * n_frames * enc
+    for s in snippet_counts:
+        total += s * snippet_len * (steps * unet_eval + dec)
+    return total
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rollingdepth_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
+    from rollingdepth_tpu.models.vae import AutoencoderKL, VAEConfig
+    from rollingdepth_tpu.pipelines.rollingdepth import _sync
+    from rollingdepth_tpu.pipelines.rollingimg import (
+        HIGHRES_DENOISE,
+        NUM_INFERENCE_STEPS,
+        RELIGHT_HEIGHT,
+        RELIGHT_WIDTH,
+        RollingImgPipeline,
+    )
+    from rollingdepth_tpu.pipelines.snippets import cap_max_dilation, snippet_index_matrix
+    from rollingdepth_tpu.schedulers.dpmsolver import (
+        DPMSolverConfig,
+        DPMSolverMultistepScheduler,
+    )
+    from rollingdepth_tpu.utils.bench_init import device_random_params
+
+    args = list(sys.argv[1:])
+    sb = 8
+    vb = 16
+    if "--sb" in args:
+        i = args.index("--sb")
+        sb = int(args[i + 1])
+        del args[i : i + 2]
+    if "--vb" in args:
+        i = args.index("--vb")
+        vb = int(args[i + 1])
+        del args[i : i + 2]
+    n_frames = int(args[0]) if args else 24
+    n_clips = int(args[1]) if len(args) > 1 else 2
+    h, w = RELIGHT_HEIGHT, RELIGHT_WIDTH  # 640 x 720 (reference-fixed)
+    dilations = [1, 25]
+
+    print(f"[bench-relight] devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.perf_counter()
+    unet = UNet2DCondition(UNetConfig.sd15(in_channels=12))
+    vae = AutoencoderKL(VAEConfig())
+    text_model = CLIPTextModel(CLIPTextConfig.sd15())
+    unet_params = device_random_params(
+        lambda: unet.init(jax.random.PRNGKey(0)), jax.random.PRNGKey(0), jnp.bfloat16
+    )
+    vae_params = device_random_params(
+        lambda: vae.init(jax.random.PRNGKey(1)), jax.random.PRNGKey(1), jnp.bfloat16
+    )
+    text_params = device_random_params(
+        lambda: text_model.init(jax.random.PRNGKey(2)), jax.random.PRNGKey(2), jnp.bfloat16
+    )
+    sched = DPMSolverMultistepScheduler(DPMSolverConfig(
+        beta_start=0.00085, beta_end=0.012, algorithm_type="sde-dpmsolver++",
+        use_karras_sigmas=True, steps_offset=1,
+    ))
+    pipe = RollingImgPipeline(
+        unet, unet_params, vae, vae_params, sched,
+        BenchTokenizer(), lambda ids: text_model.apply(text_params, ids),
+        dtype=jnp.bfloat16, snippet_batch=sb,
+    )
+    print(f"[bench-relight] setup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.RandomState(0)
+
+    def make_clip(seed):
+        r = np.random.RandomState(seed)
+        fg = (r.rand(n_frames, 3, h, w).astype(np.float32) * 2 - 1)
+        bg = (r.rand(n_frames, 3, h, w).astype(np.float32) * 2 - 1)
+        init = r.randn(n_frames, 4, h // 8, w // 8).astype(np.float32)
+        return fg, bg, init
+
+    def upload(clip):
+        fg, bg, init = clip
+        return (
+            jax.device_put(jnp.asarray(fg, jnp.bfloat16)),
+            jax.device_put(jnp.asarray(bg, jnp.bfloat16)),
+            init,
+        )
+
+    clips = [make_clip(i) for i in range(min(2, n_clips) + 1)]
+
+    kwargs = dict(
+        dilations=dilations, cap_dilation=True, seed=12345,
+        max_vae_bs=vb, fetch_output=False,
+    )
+
+    def run(dev_clip, verbose=False):
+        fg, bg, init = dev_clip
+        return pipe.forward(fg, bg, init_latents_override=init, verbose=verbose, **kwargs)
+
+    def fetch_and_check(out):
+        for chan in (out.R_pred, out.G_pred, out.B_pred):
+            assert np.isfinite(np.asarray(chan)).all()
+
+    # warmup (compiles)
+    t0 = time.perf_counter()
+    out = run(upload(clips[0]), verbose=True)
+    fetch_and_check(out)
+    print(
+        f"[bench-relight] warmup {time.perf_counter()-t0:.1f}s; "
+        f"phases {pipe.last_timings}", file=sys.stderr,
+    )
+    # steady verbose (phase split)
+    t0 = time.perf_counter()
+    out = run(upload(clips[1 % len(clips)]), verbose=True)
+    fetch_and_check(out)
+    print(
+        f"[bench-relight] steady verbose {time.perf_counter()-t0:.1f}s; "
+        f"phases {pipe.last_timings}", file=sys.stderr,
+    )
+
+    # timed steady state (double-buffered sync, fetch outside the window)
+    pool = concurrent.futures.ThreadPoolExecutor(2)
+    t0 = time.perf_counter()
+    up_next = pool.submit(upload, clips[0])
+    outs = []
+    for i in range(1, n_clips + 1):
+        dev = up_next.result()
+        if i < n_clips:
+            up_next = pool.submit(upload, clips[i % len(clips)])
+        outs.append(run(dev))
+        if len(outs) >= 2:
+            _sync(outs[-2].R_pred)
+    _sync(outs[-1].R_pred)
+    elapsed = time.perf_counter() - t0
+    fps = n_clips * n_frames / elapsed
+    for out in outs:
+        fetch_and_check(out)
+    print(
+        f"[bench-relight] {n_clips}x{n_frames} frames in {elapsed:.2f}s "
+        f"-> {fps:.3f} fps", file=sys.stderr,
+    )
+
+    snippet_counts = []
+    for d in dilations:
+        dd = cap_max_dilation(n_frames, 3, d, False)
+        snippet_counts.append(snippet_index_matrix(n_frames, 3, dd).shape[0])
+    steps = NUM_INFERENCE_STEPS - int(NUM_INFERENCE_STEPS * (1 - HIGHRES_DENOISE))
+    flops = relight_flops_per_clip(n_frames, snippet_counts, 3, steps, h, w)
+    est_3090_fps = 71e12 * 0.40 / (flops / n_frames)
+    print(json.dumps({
+        "metric": "relight_fps_720x640_1chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / est_3090_fps, 3),
+        "snippet_counts": snippet_counts,
+        "unet_steps_per_snippet": steps,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,28 @@ def test_relight_independent_of_snippet_batch(tiny_relight):
     np.testing.assert_allclose(out_a.R_pred, out_b.R_pred, atol=1e-4)
 
 
+def test_relight_mixed_chunk_matches_uniform(tiny_relight):
+    """9 snippets at snippet_batch=8 take the mixed-chunk path (one 8-chunk
+    trip + a 4-chunk remainder); id-keyed SDE noise makes the split
+    output-invariant vs a uniform 3-chunk run."""
+    fg, bg = _frames(n=11), _frames(n=11, seed=1)  # dilation [1] -> S = 9
+    old = tiny_relight.snippet_batch
+    try:
+        tiny_relight.snippet_batch = 8
+        out_a = tiny_relight.forward(fg, bg, dilations=[1], init_mode="t2i", seed=5)
+        tiny_relight.snippet_batch = 3  # 9 = 3 exact uniform chunks
+        out_b = tiny_relight.forward(fg, bg, dilations=[1], init_mode="t2i", seed=5)
+    finally:
+        tiny_relight.snippet_batch = old
+    np.testing.assert_allclose(
+        out_a.snippet_ls[0], out_b.snippet_ls[0], atol=1e-5, rtol=1e-5
+    )
+    # the 2000-iter Adam co-align amplifies fp32 batch-order rounding of the
+    # (1e-5-identical) snippets; 2e-3 bounds the drift without masking a
+    # wrong-noise bug (which would show first in snippet_ls above)
+    np.testing.assert_allclose(out_a.R_pred, out_b.R_pred, atol=2e-3)
+
+
 def test_relight_dilation_batching_matches_per_dilation(tiny_relight):
     """The batched multi-dilation fast path must draw the SAME SDE noise as
     separate per-dilation passes: snippet ids restart at 0 for every
