@@ -102,6 +102,27 @@ def main():
     dilations = [1, 25]
 
     print(f"[bench-relight] devices: {jax.devices()}", file=sys.stderr)
+
+    # on-chip Pallas-vs-XLA parity at the RELIGHT attention shape (SD1.5:
+    # 8 heads of d=40 — a lane-unaligned head dim never asserted by the
+    # depth bench preamble, which covers d=64/d=512 only)
+    from rollingdepth_tpu.ops.attention import _chunked_attention
+    from rollingdepth_tpu.ops.flash_attention import flash_attention
+
+    lat_l = 3 * (h // 8) * (w // 8)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(11), 3)
+    pq = jax.random.normal(kq, (sb, lat_l, 8, 40), jnp.bfloat16)
+    pk = jax.random.normal(kk, (sb, lat_l, 8, 40), jnp.bfloat16)
+    pv = jax.random.normal(kv, (sb, lat_l, 8, 40), jnp.bfloat16)
+    got = np.asarray(
+        flash_attention(pq, pk, pv, None, 512, 4096, False, True), np.float32
+    )
+    ref = np.asarray(jax.jit(_chunked_attention)(pq, pk, pv), np.float32)
+    err = np.abs(got - ref).max()
+    assert err < 3e-2, f"flash kernel diverges on-chip at d=40 (max err {err})"
+    print(f"[bench-relight] kernel parity d=40 L={lat_l}: max err {err:.2e} OK",
+          file=sys.stderr)
+
     t0 = time.perf_counter()
     unet = UNet2DCondition(UNetConfig.sd15(in_channels=12))
     vae = AutoencoderKL(VAEConfig())

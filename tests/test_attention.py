@@ -56,6 +56,24 @@ def test_flash_nomax_production_config(lq, lk):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.parametrize("l,h,d", [
+    (300, 2, 40),     # SD1.5 level-0 heads (relight UNet, lane-unaligned d)
+    (1380, 2, 80),    # SD1.5 level-1 + ragged multi-tile k
+    (360, 1, 160),    # SD1.5 level-2/mid: wide kernel at non-lane-multiple d
+])
+def test_flash_sd15_head_dims(l, h, d):
+    """The relight (gen-4) UNet is SD1.5: 8 heads of d=40/80/160 at every
+    level — none lane-aligned, and d=160 takes the wide kernel.  Production
+    dispatch config (block 512/4096, no_max) vs XLA."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(15), 3)
+    q = jax.random.normal(kq, (1, l, h, d), jnp.float32)
+    k = jax.random.normal(kk, (1, l, h, d), jnp.float32)
+    v = jax.random.normal(kv, (1, l, h, d), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    out = flash_attention(q, k, v, None, 512, 4096, True, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
 def test_flash_matches_torch_sdpa(torch_oracle):
     import torch
 
