@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Snippets denoised per device step (TPU batching).")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--attn-backend", type=str, default=None,
+                        choices=["auto", "flash", "xla"], dest="attn_backend",
+                        help="Attention kernel: auto (Pallas flash on TPU), or force "
+                             "flash/xla — the fallback analogue of toggling xformers.")
     # relight-mode prompts (defaults = the reference's hardcoded set,
     # rollingimg_pipeline.py:1148-1150)
     parser.add_argument("--prompt", type=str, default=None)
@@ -292,8 +296,24 @@ def run_relight(args, settings) -> None:
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
+    want_platform = os.environ.get("JAX_PLATFORMS")
+    if want_platform:
+        # honor an explicit JAX_PLATFORMS even when a device plugin re-pins
+        # jax_platforms during import (the TPU-tunnel plugin does; the test
+        # conftest needs the same override) — this is what lets the CLI run
+        # CPU-only when no accelerator is reachable; must happen before the
+        # first backend query (resolve_args probes jax.default_backend for
+        # its TPU-tuned batch defaults)
+        import jax
+
+        jax.config.update("jax_platforms", want_platform)
     args, settings = resolve_args(argv)
     logging.info("arguments: %s", settings)
+    if args.attn_backend and args.attn_backend != "auto":
+        # global override consumed by ops.attention.dot_product_attention
+        # (covers the UNet and the VAE mid-block); must be set before the
+        # first trace
+        os.environ["ROLLINGDEPTH_ATTN"] = args.attn_backend
     if args.input_fg_video and args.input_bg_video:
         run_relight(args, settings)
     elif args.input_video:

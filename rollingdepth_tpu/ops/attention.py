@@ -14,6 +14,7 @@ native, so callers simply pass ``[B, L, H, D]`` with ``L = n*hw``.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -68,8 +69,18 @@ def dot_product_attention(
     """Multi-head attention over ``[B, L, H, D]`` tensors.
 
     ``use_flash=None`` auto-selects: Pallas flash kernel when running on TPU
-    and the shape is worth tiling, else the XLA einsum path.
+    and the shape is worth tiling, else the XLA einsum path.  The
+    ``ROLLINGDEPTH_ATTN`` env var overrides the auto choice globally
+    (``xla`` or ``flash``) — the debug/fallback analogue of toggling
+    xformers on the reference (run_video.py passes no such flag; diffusers
+    exposes enable_xformers_memory_efficient_attention).
     """
+    if use_flash is None:
+        env = os.environ.get("ROLLINGDEPTH_ATTN", "auto").lower()
+        if env == "xla":
+            use_flash = False
+        elif env == "flash":
+            use_flash = True
     if use_flash is None:
         use_flash = (
             jax.default_backend() == "tpu"

@@ -174,6 +174,7 @@ class RollingDepthPipeline:
         snippet_batch: int = 8,
         vae_batch: int = 4,
         mesh=None,
+        use_flash: Optional[bool] = None,
     ):
         self.unet = unet
         self.vae = vae
@@ -181,6 +182,10 @@ class RollingDepthPipeline:
         self.dtype = dtype
         self.snippet_batch = snippet_batch
         self.vae_batch = vae_batch
+        # attention backend: None = auto (Pallas flash on TPU), True = force
+        # flash, False = force the XLA einsum path (debug / fallback knob,
+        # analogous to toggling xformers on the reference)
+        self.use_flash = use_flash
         # optional jax.sharding.Mesh with a "dp" axis: snippets within a
         # dilation pass are embarrassingly parallel (SURVEY.md §2.3) and are
         # sharded over dp with zero cross-chip attention traffic
@@ -712,12 +717,13 @@ class RollingDepthPipeline:
 
     def _infer_program(self, lat_hw4, n, sb, dp, infer_steps, cap, scap):
         rows = sb * dp
-        key = ("infer", lat_hw4, n, sb, dp, infer_steps, cap, scap)
+        key = ("infer", lat_hw4, n, sb, dp, infer_steps, cap, scap, self.use_flash)
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
             dtype = self.dtype
             mesh = self.mesh
+            use_flash = self.use_flash
 
             @jax.jit
             def fn(unet_params, text, src, idx, noise_single, ts, nchunks):
@@ -726,7 +732,8 @@ class RollingDepthPipeline:
 
                     def body(depth_lat, t):
                         x = jnp.concatenate([rgb_chunk, depth_lat], axis=-1)
-                        eps = unet_apply(unet_params, unet_cfg, x, jnp.full((sb,), t), text)
+                        eps = unet_apply(unet_params, unet_cfg, x, jnp.full((sb,), t), text,
+                                         use_flash=use_flash)
                         prev, _ = scheduler.step(
                             eps.astype(jnp.float32),
                             t,
@@ -818,19 +825,22 @@ class RollingDepthPipeline:
         # ONE dispatch per refinement pass: gather + UNet + DDIM step +
         # mask-weighted scatter-average over a dynamic number of fixed-size
         # chunks, keyed by (chunk, n, h, w, buckets) — never seq_len
-        key = ("refine_step", lat_shape, n, sb, dp, total_steps, cap, scap)
+        key = ("refine_step", lat_shape, n, sb, dp, total_steps, cap, scap,
+               self.use_flash)
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
             dtype = self.dtype
             mesh = self.mesh
+            use_flash = self.use_flash
 
             @jax.jit
             def step_fn(unet_params, text, src_rgb, src_depth, idx, mask, t, nchunks):
                 def denoise_chunk(args):
                     rgb_chunk, depth_chunk = args  # [sb, n, h, w, 4]
                     x = jnp.concatenate([rgb_chunk, depth_chunk], axis=-1)
-                    eps = unet_apply(unet_params, unet_cfg, x, jnp.full((sb,), t), text)
+                    eps = unet_apply(unet_params, unet_cfg, x, jnp.full((sb,), t), text,
+                                     use_flash=use_flash)
                     prev, _ = scheduler.step(
                         eps.astype(jnp.float32),
                         t,

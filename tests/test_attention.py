@@ -164,3 +164,34 @@ def test_flash_attention_gradients():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+def test_attn_backend_env_override(monkeypatch):
+    """ROLLINGDEPTH_ATTN=xla must route around the flash kernel even for
+    shapes the auto heuristic would tile (serving fallback knob); =flash must
+    force the kernel path."""
+    import rollingdepth_tpu.ops.attention as attn_mod
+
+    calls = {"flash": 0}
+
+    def fake_flash(q, k, v, scale=None, block_q=None, block_k=None, no_max=False, interpret=False):
+        calls["flash"] += 1
+        return attn_mod._xla_attention(q, k, v, scale)
+
+    import rollingdepth_tpu.ops.flash_attention as flash_mod
+
+    monkeypatch.setattr(flash_mod, "flash_attention", fake_flash)
+    monkeypatch.setattr(attn_mod.jax, "default_backend", lambda: "tpu")
+
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(21), 3)
+    q = jax.random.normal(kq, (1, 512, 2, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, 512, 2, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, 512, 2, 64), jnp.float32)
+
+    monkeypatch.setenv("ROLLINGDEPTH_ATTN", "xla")
+    attn_mod.dot_product_attention(q, k, v)
+    assert calls["flash"] == 0
+
+    monkeypatch.setenv("ROLLINGDEPTH_ATTN", "flash")
+    attn_mod.dot_product_attention(q, k, v)
+    assert calls["flash"] == 1
