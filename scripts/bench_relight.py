@@ -88,6 +88,10 @@ def main():
     args = list(sys.argv[1:])
     sb = 8
     vb = 16
+    decode_pass = False
+    if "--decode-pass" in args:
+        decode_pass = True
+        args.remove("--decode-pass")
     if "--sb" in args:
         i = args.index("--sb")
         sb = int(args[i + 1])
@@ -144,6 +148,7 @@ def main():
         unet, unet_params, vae, vae_params, sched,
         BenchTokenizer(), lambda ids: text_model.apply(text_params, ids),
         dtype=jnp.bfloat16, snippet_batch=sb,
+        decode_in_program=not decode_pass,
     )
     print(f"[bench-relight] setup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 

@@ -182,6 +182,20 @@ def test_relight_dilation_batching_matches_per_dilation(tiny_relight):
         )
 
 
+def test_relight_decode_pass_matches_in_program(tiny_relight):
+    """decode_in_program=False runs the VAE decode as its own compiled pass
+    (the depth pipeline's layout); outputs must match the fused program."""
+    fg, bg = _frames(), _frames(seed=1)
+    out_a = tiny_relight.forward(fg, bg, dilations=[1], init_mode="shared_noise", seed=5)
+    try:
+        tiny_relight.decode_in_program = False
+        out_b = tiny_relight.forward(fg, bg, dilations=[1], init_mode="shared_noise", seed=5)
+    finally:
+        tiny_relight.decode_in_program = True
+    np.testing.assert_allclose(out_a.snippet_ls[0], out_b.snippet_ls[0], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(out_a.R_pred, out_b.R_pred, atol=1e-4)
+
+
 def test_relight_strides_validation(tiny_relight):
     import pytest as _pytest
 
