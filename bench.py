@@ -131,13 +131,16 @@ def main():
     n_clips = int(args[1]) if len(args) > 1 else 4  # timed clips
     # preset geometry/config (utils/presets.py; reference run_video.py:423-452)
     MODES = {
-        # (max_edge, dilations, refine_step, merge_in_latent)
-        "fast": (768, [1, 25], 0, True),
-        "fast1024": (1024, [1, 25], 0, True),
-        "full": (1024, [1, 10, 25], 10, False),
-        "paper": (768, [1, 10, 25], 10, False),
+        # (max_edge, dilations, refine_step, merge_in_latent, cap_dilation)
+        "fast": (768, [1, 25], 0, True, True),
+        "fast1024": (1024, [1, 25], 0, True, True),
+        "full": (1024, [1, 10, 25], 10, False, True),
+        # paper preset: cap_dilation OFF (run_video.py:444-451) — at 60
+        # frames the d=25 pass really runs 10 full-span windows, not 22
+        # capped ones
+        "paper": (768, [1, 10, 25], 10, False, False),
     }
-    max_edge, dilations, refine_step, merge_latent = MODES[mode]
+    max_edge, dilations, refine_step, merge_latent, cap_dil = MODES[mode]
     h, w = max_edge, (max_edge * 9 // 16) // 8 * 8  # 16:9 at the preset edge
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
@@ -168,7 +171,7 @@ def main():
     ]
 
     kwargs = dict(
-        dilations=dilations, cap_dilation=True, refine_step=refine_step, seed=0,
+        dilations=dilations, cap_dilation=cap_dil, refine_step=refine_step, seed=0,
         max_vae_bs=vb, fetch_output=False,
         # fast-preset default since round 3: latent-space co-align + merge,
         # decoding N frames once instead of every snippet frame (drift vs the

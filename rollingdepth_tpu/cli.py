@@ -46,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--frame-count", "--frames", type=int, default=0, dest="frame_count")
     parser.add_argument("-c", "--checkpoint", type=str, default="prs-eth/rollingdepth-v1-0")
     parser.add_argument("--res", "--processing-resolution", type=int, default=None, dest="res")
-    parser.add_argument("--max-vae-bs", type=int, default=4)
+    parser.add_argument("--max-vae-bs", type=int, default=None,
+                        help="VAE encode/decode batch (default: 4, or 16 on TPU).")
     parser.add_argument("--fps", "--output-fps", type=int, default=0, dest="output_fps")
     parser.add_argument("--restore-res", type=str2bool, default=False, dest="restore_res")
     parser.add_argument("--save-sbs", "--save-side-by-side", type=str2bool, default=True, dest="save_sbs")
@@ -71,8 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Turbo merge: co-align+merge snippet latents and decode "
                              "N frames once (fast presets default on); false = exact "
                              "reference decode-all-snippets merge.")
-    parser.add_argument("--snippet-batch", type=int, default=8,
-                        help="Snippets denoised per device step (TPU batching).")
+    parser.add_argument("--snippet-batch", type=int, default=None,
+                        help="Snippets denoised per device step (default: 8, or 16 on TPU).")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--attn-backend", type=str, default=None,

@@ -21,6 +21,14 @@ import jax
 import jax.numpy as jnp
 
 
+def backend_tag() -> str:
+    """Current ``ROLLINGDEPTH_ATTN`` override (a trace-time input): pipelines
+    mix this into their program cache keys so flipping the env var
+    mid-process retraces instead of silently reusing programs compiled with
+    the previous backend."""
+    return os.environ.get("ROLLINGDEPTH_ATTN", "auto").lower()
+
+
 def _xla_attention(
     q: jnp.ndarray,  # [B, L_q, H, D]
     k: jnp.ndarray,  # [B, L_k, H, D]

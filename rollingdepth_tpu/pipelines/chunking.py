@@ -19,14 +19,21 @@ from typing import Any, Dict, List
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import backend_tag
+
 # Gather sources (per-frame latents) are zero-padded to a multiple of this
 # bucket.  Latents are tiny (a 256-frame 768p source is ~11 MB bf16), so the
 # padding is free; compute-chunk sizes still track the TRUE length.
 FRAME_CAPACITY = 256
 
 
+def round_up(n: int, multiple: int) -> int:
+    """Smallest multiple of ``multiple`` >= n."""
+    return multiple * (-(-n // multiple))
+
+
 def capacity(n: int) -> int:
-    return FRAME_CAPACITY * (-(-n // FRAME_CAPACITY))
+    return round_up(n, FRAME_CAPACITY)
 
 
 # Work-item buffers (snippet rows, frame rows) are padded to a multiple of
@@ -37,7 +44,7 @@ ROW_BUCKET = 128
 
 
 def row_capacity(n: int) -> int:
-    return ROW_BUCKET * (-(-n // ROW_BUCKET))
+    return round_up(n, ROW_BUCKET)
 
 
 def pad_zeros_dev(cache: Dict[Any, Any], x: jnp.ndarray, target: int) -> jnp.ndarray:
@@ -53,3 +60,46 @@ def pad_zeros_dev(cache: Dict[Any, Any], x: jnp.ndarray, target: int) -> jnp.nda
     return cache[key](x)
 
 
+def pick_chunk(s: int, max_chunk: int, dp: int = 1) -> int:
+    """Chunk size for ``s`` work items: ``max_chunk`` whenever s reaches it.
+
+    The chunk size must NOT be derived from s beyond the small-s clamp —
+    a length-dependent chunk forces a full UNet/VAE recompile for every new
+    clip length, which costs minutes where the padding it saved costs
+    milliseconds.  Small s clamps to the next multiple of 4 so tiny test
+    workloads stay tiny."""
+    if s >= max_chunk:
+        return max_chunk
+    return max(1, min(max_chunk, round_up(s, 4)))
+
+
+def encode_frames(cache, vae, vae_params, frames: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, h, w, 4] scaled latents — ONE dispatch over a
+    dynamic number of fixed-size ``vae_bs`` chunks, keyed by (frame shape,
+    bs, bucket), never the clip length.  Shared by the depth and relight
+    pipelines (both encode with identical chunking semantics)."""
+    n = frames.shape[0]
+    bs = pick_chunk(n, vae_bs)
+    n_pad = round_up(n, bs)
+    ncap = row_capacity(n_pad)
+    src = pad_zeros_dev(cache, frames, ncap)
+    key = ("encode", frames.shape[1:], bs, ncap, backend_tag())
+    if key not in cache:
+        lat_sd = jax.eval_shape(
+            lambda p, c: vae.encode_mean(p, c),
+            vae_params,
+            jax.ShapeDtypeStruct((bs,) + frames.shape[1:], frames.dtype),
+        )
+
+        @jax.jit
+        def fn(params, x, nchunks):
+            def body(i, buf):
+                c = jax.lax.dynamic_slice_in_dim(x, i * bs, bs, 0)
+                z = vae.encode_mean(params, c)
+                return jax.lax.dynamic_update_slice_in_dim(buf, z, i * bs, 0)
+
+            buf = jnp.zeros((ncap,) + lat_sd.shape[1:], lat_sd.dtype)
+            return jax.lax.fori_loop(0, nchunks, body, buf)
+
+        cache[key] = fn
+    return cache[key](vae_params, src, n_pad // bs)[:n]

@@ -35,13 +35,16 @@ import numpy as np
 
 from ..aligner import AlignerConfig, DepthAligner
 from ..models.unet import UNet2DCondition, unet_apply
+from ..ops.attention import backend_tag
 from ..models.vae import AutoencoderKL
 from ..schedulers.ddim import DDIMScheduler
 from ..io.video import load_video_frames
 from .chunking import (
     FRAME_CAPACITY,
     capacity as _capacity,
+    encode_frames,
     pad_zeros_dev,
+    pick_chunk as _pick_chunk,
     row_capacity,
 )
 from .snippets import cap_max_dilation, current_gap, snippet_index_matrix
@@ -88,17 +91,6 @@ def _pad_rows(x: np.ndarray, target: int) -> np.ndarray:
     return np.concatenate([x, reps], axis=0)
 
 
-def _pick_chunk(s: int, max_chunk: int, dp: int = 1) -> int:
-    """Chunk size for ``s`` work items: ``max_chunk`` whenever s reaches it.
-
-    The chunk size must NOT be derived from s beyond the small-s clamp —
-    a length-dependent chunk (round 2 minimized padding per clip) forces a
-    full UNet/VAE recompile for every new clip length, which costs minutes
-    where the padding it saved costs milliseconds.  Small s clamps to the
-    next multiple of 4 so tiny test workloads stay tiny."""
-    if s >= max_chunk:
-        return max_chunk
-    return max(1, min(max_chunk, -(-s // 4) * 4))
 
 
 def _sync(x: jnp.ndarray) -> None:
@@ -545,38 +537,9 @@ class RollingDepthPipeline:
         return pad_zeros_dev(self._jit_cache, x, target)
 
     def _encode_frames(self, frames: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
-        """[N, H, W, 3] -> [N, h, w, 4] scaled latents.
-
-        ONE dispatch: a jitted fori_loop runs a DYNAMIC number of fixed-size
-        encode chunks over a bucket-padded buffer — the program is keyed by
-        (frame shape, bs, bucket), never the clip length, and a clip of any
-        length in the bucket reuses it with zero host-loop overhead."""
-        n = frames.shape[0]
-        bs = _pick_chunk(n, vae_bs)
-        n_pad = n + ((-n) % bs)
-        ncap = row_capacity(n_pad)
-        src = self._pad_zeros_dev(frames, ncap)
-        key = ("encode", frames.shape[1:], bs, ncap)
-        if key not in self._jit_cache:
-            vae = self.vae
-            lat_sd = jax.eval_shape(
-                lambda p, c: vae.encode_mean(p, c),
-                self.vae_params,
-                jax.ShapeDtypeStruct((bs,) + frames.shape[1:], frames.dtype),
-            )
-
-            @jax.jit
-            def fn(params, x, nchunks):
-                def body(i, buf):
-                    c = jax.lax.dynamic_slice_in_dim(x, i * bs, bs, 0)
-                    z = vae.encode_mean(params, c)
-                    return jax.lax.dynamic_update_slice_in_dim(buf, z, i * bs, 0)
-
-                buf = jnp.zeros((ncap,) + lat_sd.shape[1:], lat_sd.dtype)
-                return jax.lax.fori_loop(0, nchunks, body, buf)
-
-            self._jit_cache[key] = fn
-        return self._jit_cache[key](self.vae_params, src, n_pad // bs)[:n]
+        """[N, H, W, 3] -> [N, h, w, 4] scaled latents (shared chunked
+        program, chunking.encode_frames)."""
+        return encode_frames(self._jit_cache, self.vae, self.vae_params, frames, vae_bs)
 
     def _decode_depth(self, latents: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
         """[N, h, w, 4] -> [N, H, W] depth (channel-mean, reference :737).
@@ -590,7 +553,7 @@ class RollingDepthPipeline:
         n_pad = n + ((-n) % rows)
         ncap = row_capacity(n_pad)
         src = self._pad_zeros_dev(latents, ncap)
-        key = ("decode", latents.shape[1:], bs, dp, ncap)
+        key = ("decode", latents.shape[1:], bs, dp, ncap, backend_tag())
         if key not in self._jit_cache:
             vae = self.vae
             mesh = self.mesh
@@ -632,7 +595,7 @@ class RollingDepthPipeline:
         n_pad = n + ((-n) % bs)
         ncap = row_capacity(n_pad)
         src = self._pad_zeros_dev(latents, ncap)
-        key = ("decode_rgb", latents.shape[1:], bs, ncap)
+        key = ("decode_rgb", latents.shape[1:], bs, ncap, backend_tag())
         if key not in self._jit_cache:
             vae = self.vae
             img_sd = jax.eval_shape(
@@ -717,7 +680,8 @@ class RollingDepthPipeline:
 
     def _infer_program(self, lat_hw4, n, sb, dp, infer_steps, cap, scap):
         rows = sb * dp
-        key = ("infer", lat_hw4, n, sb, dp, infer_steps, cap, scap, self.use_flash)
+        key = ("infer", lat_hw4, n, sb, dp, infer_steps, cap, scap,
+               self.use_flash, backend_tag())
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
@@ -826,7 +790,7 @@ class RollingDepthPipeline:
         # mask-weighted scatter-average over a dynamic number of fixed-size
         # chunks, keyed by (chunk, n, h, w, buckets) — never seq_len
         key = ("refine_step", lat_shape, n, sb, dp, total_steps, cap, scap,
-               self.use_flash)
+               self.use_flash, backend_tag())
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
             scheduler = self.scheduler
