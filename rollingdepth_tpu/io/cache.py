@@ -88,16 +88,30 @@ def load_params(path: str, dtype=None) -> Params:
 CONVERSION_FORMAT_VERSION = 2
 
 
-def cache_path(checkpoint_dir: str, subfolder: str, dtype) -> str:
+def cache_path(checkpoint_dir: str, subfolder: str, dtype,
+               variant: str = "", extra_files=()) -> str:
     """Cache file keyed by (path, subfolder, dtype, converter version) AND
     the source weight files' size+mtime, so both weights replaced in place
-    and converter format changes invalidate the cache."""
-    key = f"{os.path.abspath(checkpoint_dir)}:{subfolder}:{dtype}:v{CONVERSION_FORMAT_VERSION}"
+    and converter format changes invalidate the cache.
+
+    ``variant`` names a derived conversion of the same subfolder (e.g. the
+    IC-Light offset-merged 12-ch UNet); ``extra_files`` are additional
+    inputs (e.g. the offset safetensors) whose size+mtime key the cache."""
+    key = (
+        f"{os.path.abspath(checkpoint_dir)}:{subfolder}:{variant}:{dtype}"
+        f":v{CONVERSION_FORMAT_VERSION}"
+    )
     sub = os.path.join(checkpoint_dir, subfolder)
     if os.path.isdir(sub):
         for name in sorted(os.listdir(sub)):
             if name.endswith((".safetensors", ".bin", ".pt", ".pth", ".ckpt")):
                 st = os.stat(os.path.join(sub, name))
                 key += f":{name}:{st.st_size}:{st.st_mtime_ns}"
+    for path in extra_files:
+        if path and os.path.exists(path):
+            st = os.stat(path)
+            key += f":{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}"
     tag = hashlib.sha1(key.encode()).hexdigest()[:12]
-    return os.path.join(checkpoint_dir, ".jax_cache", f"{subfolder}_{tag}.npz")
+    return os.path.join(
+        checkpoint_dir, ".jax_cache", f"{subfolder}{variant}_{tag}.npz"
+    )

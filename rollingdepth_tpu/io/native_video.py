@@ -169,29 +169,57 @@ class PrefetchingFrameLoader:
         self._frame_count = frame_count
         self._device = device
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the background worker and release queued clip buffers.
+
+        Without this, an abandoned iterator (early break, error) would leave
+        the worker decoding and uploading every remaining clip, then parked
+        on the bounded queue pinning up to depth+1 decoded clips in host and
+        device memory."""
+        self._stop.set()
+        try:  # unblock a worker parked on the full queue
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def _worker(self):
         import jax
 
         for path in self._paths:
+            if self._stop.is_set():
+                break
             try:
                 frames, orig, fps = decode_video(
                     path, 0, self._frame_count, self._max_edge
                 )
                 arr = jax.device_put(frames.transpose(0, 2, 3, 1), self._device)
-                self._q.put((path, arr, orig, fps, None))
+                self._put((path, arr, orig, fps, None))
             except Exception as e:  # noqa: BLE001
-                self._q.put((path, None, None, None, e))
-        self._q.put(None)
+                self._put((path, None, None, None, e))
+        self._put(None)
+
+    def _put(self, item) -> None:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
 
     def __iter__(self) -> Iterator:
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            path, arr, orig, fps, err = item
-            if err is not None:
-                raise err
-            yield path, arr, orig, fps
+        try:
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                path, arr, orig, fps, err = item
+                if err is not None:
+                    raise err
+                yield path, arr, orig, fps
+        finally:
+            self.close()

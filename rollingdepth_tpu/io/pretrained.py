@@ -44,16 +44,23 @@ def _clip_key_filter(key: str) -> Optional[str]:
 def load_text_encoder(checkpoint_dir: str, dtype=jnp.float32):
     cfg = CLIPTextConfig.from_dict(load_config(checkpoint_dir, "text_encoder"))
     model = CLIPTextModel(cfg)
-    sd = load_module_state_dict(checkpoint_dir, "text_encoder")
-    params = state_dict_to_pytree(sd, dtype=dtype, key_filter=_clip_key_filter)
+    params = _cached_convert(
+        checkpoint_dir, "text_encoder", dtype,
+        lambda: state_dict_to_pytree(
+            load_module_state_dict(checkpoint_dir, "text_encoder"),
+            dtype=dtype, key_filter=_clip_key_filter,
+        ),
+    )
     return model, params
 
 
-def _cached_convert(checkpoint_dir: str, subfolder: str, dtype, convert_fn):
+def _cached_convert(checkpoint_dir: str, subfolder: str, dtype, convert_fn,
+                    variant: str = "", extra_files=()):
     """Run the torch->pytree conversion once; reload from .npz afterwards."""
     from .cache import cache_path, load_params, save_params
 
-    path = cache_path(checkpoint_dir, subfolder, jnp.dtype(dtype).name)
+    path = cache_path(checkpoint_dir, subfolder, jnp.dtype(dtype).name,
+                      variant=variant, extra_files=extra_files)
     if os.path.exists(path):
         try:
             return load_params(path)

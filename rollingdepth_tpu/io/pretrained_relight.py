@@ -56,23 +56,43 @@ def load_relight_unet(
     the base 4-ch UNet serves the t2i init-latent generator (replacing the
     reference's StableDiffusionPipeline t2i_pipe, rollingimg :165-175).
     """
-    cfg_dict = load_config(checkpoint_dir, "unet")
-    sd = load_module_state_dict(checkpoint_dir, "unet")
+    from .pretrained import _cached_convert
 
+    cfg_dict = load_config(checkpoint_dir, "unet")
     base_cfg = UNetConfig.from_dict(cfg_dict)
     base_model = UNet2DCondition(base_cfg)
-    base_params = state_dict_to_pytree(sd, dtype=dtype)
 
-    sd12 = expand_conv_in(sd, 12)
-    if iclight_offset_path and os.path.exists(iclight_offset_path):
-        offset = load_safetensors(iclight_offset_path)
-        sd12 = merge_offset(sd12, offset)
-    elif iclight_offset_path:
+    # the raw state dict is loaded at most once, and not at all when both
+    # conversions hit the .npz cache (warm start skips torch entirely)
+    sd_box: dict = {}
+
+    def get_sd():
+        if "sd" not in sd_box:
+            sd_box["sd"] = load_module_state_dict(checkpoint_dir, "unet")
+        return sd_box["sd"]
+
+    base_params = _cached_convert(
+        checkpoint_dir, "unet", dtype,
+        lambda: state_dict_to_pytree(get_sd(), dtype=dtype),
+    )
+
+    offset_exists = bool(iclight_offset_path) and os.path.exists(iclight_offset_path)
+    if iclight_offset_path and not offset_exists:
         logger.warning("IC-Light offset %s not found; using unmerged weights", iclight_offset_path)
+
+    def convert_merged():
+        sd12 = expand_conv_in(get_sd(), 12)
+        if offset_exists:
+            sd12 = merge_offset(sd12, load_safetensors(iclight_offset_path))
+        return state_dict_to_pytree(sd12, dtype=dtype)
 
     merged_cfg = _dc.replace(base_cfg, in_channels=12)
     merged_model = UNet2DCondition(merged_cfg)
-    merged_params = state_dict_to_pytree(sd12, dtype=dtype)
+    merged_params = _cached_convert(
+        checkpoint_dir, "unet", dtype, convert_merged,
+        variant="_iclight12" if offset_exists else "_12ch",
+        extra_files=[iclight_offset_path] if offset_exists else (),
+    )
     return merged_model, merged_params, base_model, base_params
 
 

@@ -87,7 +87,10 @@ def load_video_frames(
             except RuntimeError as e:
                 logger.warning("native decode failed (%s); falling back to OpenCV", e)
     if os.path.splitext(path)[1].lower() in (".png", ".jpg", ".jpeg", ".bmp"):
-        img = cv2.imread(path, cv2.IMREAD_COLOR)[:, :, ::-1]
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise RuntimeError(f"Cannot read image {path}")
+        img = img[:, :, ::-1]
         frames_iter = [img]
         original_res = img.shape[:2]
     else:

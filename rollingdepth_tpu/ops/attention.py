@@ -84,7 +84,7 @@ def dot_product_attention(
     exposes enable_xformers_memory_efficient_attention).
     """
     if use_flash is None:
-        env = os.environ.get("ROLLINGDEPTH_ATTN", "auto").lower()
+        env = backend_tag()
         if env == "xla":
             use_flash = False
         elif env == "flash":

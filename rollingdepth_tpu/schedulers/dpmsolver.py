@@ -89,6 +89,18 @@ class DPMSolverMultistepScheduler:
             raise NotImplementedError(
                 "solver_order up to 2 implemented (the reference pipelines use 2)"
             )
+        if (
+            config.algorithm_type in ("dpmsolver", "sde-dpmsolver")
+            and config.final_sigmas_type == "zero"
+        ):
+            # sigma_t=0 makes lambda_t infinite for the non-++ algorithms
+            # (the last update would be 0*inf = NaN); diffusers raises the
+            # same error (scheduling_dpmsolver_multistep.py:267-269)
+            raise ValueError(
+                f"`final_sigmas_type` {config.final_sigmas_type!r} is not "
+                f"supported for `algorithm_type` {config.algorithm_type!r}. "
+                "Please choose `sigma_min` instead."
+            )
         self.config = config
         betas = make_betas(
             config.num_train_timesteps, config.beta_start, config.beta_end, config.beta_schedule

@@ -52,6 +52,12 @@ class EulerAncestralScheduler:
             config.beta_schedule,
             config.rescale_betas_zero_snr,
         )
+        if config.rescale_betas_zero_snr:
+            # zero-SNR rescale makes the terminal alphas_cumprod exactly 0,
+            # which would put sigma[0] at inf; diffusers patches it to the
+            # smallest fp16-representable positive value
+            # (scheduling_euler_ancestral_discrete.py:204)
+            self.alphas_cumprod[-1] = 2**-24
 
     def schedule(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
         """Host-side (timesteps [T] float32, sigmas [T+1]) for a run.

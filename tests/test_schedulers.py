@@ -199,3 +199,39 @@ def test_presets():
     assert paper.dtype == "fp32" and not paper.cap_dilation and paper.refine_step == 10
     full = resolve_preset("full", {"res": 768})
     assert full.res == 768 and full.dilations == [1, 10, 25]
+
+
+def test_euler_ancestral_zero_snr_sigmas_finite(torch_oracle):
+    """rescale_betas_zero_snr makes the terminal alphas_cumprod exactly 0;
+    diffusers patches it to 2**-24 (scheduling_euler_ancestral_discrete.py:204)
+    so sigma[0] is finite.  Regression: the patch was missing here and every
+    step output was NaN."""
+    from diffusers import EulerAncestralDiscreteScheduler as TorchEA
+
+    kwargs = dict(beta_start=0.00085, beta_end=0.012, beta_schedule="linear")
+    ours = EulerAncestralScheduler(
+        EulerAncestralConfig(rescale_betas_zero_snr=True, **kwargs)
+    )
+    timesteps, sigmas = ours.schedule(10)
+    assert np.isfinite(sigmas).all(), sigmas
+
+    ref = TorchEA(rescale_betas_zero_snr=True, **kwargs)
+    ref.set_timesteps(10)
+    np.testing.assert_allclose(
+        sigmas, ref.sigmas.numpy().astype(np.float32), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dpm_non_pp_rejects_zero_final_sigma():
+    """final_sigmas_type='zero' (default) with the non-++ algorithms would
+    make the last update 0*inf=NaN; diffusers raises the same ValueError
+    (scheduling_dpmsolver_multistep.py:267-269)."""
+    import pytest as _pytest
+
+    for algo in ("dpmsolver", "sde-dpmsolver"):
+        with _pytest.raises(ValueError, match="final_sigmas_type"):
+            DPMSolverMultistepScheduler(DPMSolverConfig(algorithm_type=algo))
+    # sigma_min is the supported combination
+    DPMSolverMultistepScheduler(
+        DPMSolverConfig(algorithm_type="dpmsolver", final_sigmas_type="sigma_min")
+    )
