@@ -40,7 +40,9 @@ DEFAULT_SPLIT_DIR = os.path.join(os.path.dirname(__file__), "..", "data_split")
 #   RGB-D dataset states it follows the TUM format)
 # - pointodyssey: depth PNGs encode meters*1000 as uint16 (PointOdyssey
 #   toolkit reads depth/ *.png / 1000.0)
-# - dydtof: depth maps in millimeters (DyDToF paper, ToF sensor convention)
+# - dydtof: the bundled manifests reference DepthMap/*.npy float maps, which
+#   load unscaled (load_gt_depths); the 1000 entry applies only if a PNG
+#   export is used instead (ToF millimeter convention)
 # tests/test_eval.py::test_gt_depth_scale_semantics locks the table;
 # test_gt_depth_scale_roundtrip exercises the decode path itself.
 DATASET_DEPTH_SCALE = {
@@ -59,21 +61,32 @@ class EvalSample:
 
 
 def load_manifest(csv_path: str, data_root: str) -> EvalSample:
-    """Parse one data_split CSV (rgb,depth relative paths)."""
+    """Parse one data_split CSV (rgb,depth paths relative to the SEQUENCE
+    directory).
+
+    The sequence identity lives only in the CSV filename — every scannet
+    scene CSV contains the same ``color/0.jpg`` rows — and ``^`` in a stem
+    encodes a path separator (``apartment_big^ba_shot1.csv`` →
+    ``apartment_big/ba_shot1/``), so frames resolve under
+    ``data_root/<seq>/``."""
+    seq_rel = os.path.splitext(os.path.basename(csv_path))[0].replace("^", os.sep)
+    seq_root = os.path.join(data_root, seq_rel)
     rgb, depth = [], []
     with open(csv_path) as f:
         reader = csv.DictReader(f)
         for row in reader:
-            rgb.append(os.path.join(data_root, row["rgb"]))
-            depth.append(os.path.join(data_root, row["depth"]))
+            rgb.append(os.path.join(seq_root, row["rgb"]))
+            depth.append(os.path.join(seq_root, row["depth"]))
     return EvalSample(rgb, depth, os.path.splitext(os.path.basename(csv_path))[0])
 
 
 def list_manifests(split_dir: str) -> List[str]:
     out = []
     for root, _dirs, files in os.walk(split_dir):
-        out.extend(os.path.join(root, f) for f in sorted(files) if f.endswith(".csv"))
-    return out
+        out.extend(os.path.join(root, f) for f in files if f.endswith(".csv"))
+    # os.walk visits directories in arbitrary filesystem order; sort the full
+    # list so max_sequences selects a deterministic subset on every machine
+    return sorted(out)
 
 
 def load_frames_from_manifest(sample: EvalSample, processing_res: int = 0) -> np.ndarray:
@@ -82,7 +95,10 @@ def load_frames_from_manifest(sample: EvalSample, processing_res: int = 0) -> np
 
     frames = []
     for p in sample.rgb_paths:
-        img = cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1]
+        img = cv2.imread(p, cv2.IMREAD_COLOR)
+        if img is None:
+            raise RuntimeError(f"cannot read RGB frame {p}")
+        img = img[:, :, ::-1]
         if processing_res > 0:
             img = resize_max_res(img, processing_res)
         frames.append((img.astype(np.float32) / 255.0 * 2 - 1).transpose(2, 0, 1))
@@ -92,7 +108,15 @@ def load_frames_from_manifest(sample: EvalSample, processing_res: int = 0) -> np
 def load_gt_depths(sample: EvalSample, depth_scale: float) -> List[np.ndarray]:
     out = []
     for p in sample.depth_paths:
+        if p.endswith(".npy"):
+            # float depth maps (dydtof DepthMap/*.npy) are already metric;
+            # the integer-PNG scale table does not apply
+            d = np.load(p)
+            out.append(np.asarray(d, np.float32))
+            continue
         d = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+        if d is None:
+            raise RuntimeError(f"cannot read GT depth {p}")
         out.append(d.astype(np.float32) / depth_scale)
     return out
 
@@ -174,7 +198,9 @@ def evaluate_dataset(
         split_dir = os.path.join(DEFAULT_SPLIT_DIR, dataset)
     scale = DATASET_DEPTH_SCALE.get(dataset, 1000.0)
     manifests = list_manifests(split_dir)
-    if max_sequences:
+    if not manifests:
+        raise FileNotFoundError(f"no .csv manifests found under {split_dir}")
+    if max_sequences is not None:
         manifests = manifests[:max_sequences]
     results = []
     for m in manifests:

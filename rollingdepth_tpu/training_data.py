@@ -76,14 +76,21 @@ class SnippetLatentDataset:
             self.depth_latents.append(np.asarray(encode_fn(dep_nhwc), np.float32))
 
             n_frames = rgb.shape[0]
+            seen_dilations = set()  # dilations capping to the same effective
+            # value would duplicate every window, silently over-sampling
             for dilation in config.dilations:
                 d = (
                     cap_max_dilation(n_frames, config.snippet_len, dilation, False)
                     if config.cap_dilation
                     else dilation
                 )
+                # short clips can cap d to 0/negative (the span guard below
+                # would not catch d=0, and snippet_index_matrix needs d >= 1)
+                if d < 1 or d in seen_dilations:
+                    continue
                 if n_frames < (config.snippet_len - 1) * d + 1:
                     continue
+                seen_dilations.add(d)
                 idx = snippet_index_matrix(n_frames, config.snippet_len, d)
                 for row in idx:
                     self.windows.append((clip_id, row))

@@ -23,12 +23,22 @@ def test_manifest_parsing_real_splits():
     assert len(manifests) >= 90  # 99 scenes
     sample = load_manifest(manifests[0], "/data/scannet")
     assert len(sample.rgb_paths) == len(sample.depth_paths) == 90
-    assert sample.rgb_paths[0].startswith("/data/scannet/")
+    # rows are relative to the SEQUENCE dir (every scene CSV holds the same
+    # color/0.jpg rows); the scene name comes from the manifest filename
+    assert sample.rgb_paths[0].startswith(f"/data/scannet/{sample.name}/")
 
     bonn = list_manifests(f"{SPLIT_DIR}/bonn_rgbd")
     assert len(bonn) == 5
     s = load_manifest(bonn[0], "/x")
     assert len(s.rgb_paths) == 110
+
+    # '^' in a stem encodes a path separator (dydtof/pointodyssey)
+    dyd = list_manifests(f"{SPLIT_DIR}/dydtof")
+    d = load_manifest([m for m in dyd if "^" in m][0], "/data/dydtof")
+    import os as _os
+    assert f"{_os.sep}" in d.name.replace("^", _os.sep)
+    assert "^" not in d.rgb_paths[0]
+    assert d.depth_paths[0].endswith(".npy")
 
 
 def test_alignment_recovers_affine():
@@ -144,3 +154,38 @@ def test_gt_depth_scale_semantics():
         assert raw / DATASET_DEPTH_SCALE[ds] == 5.0, ds
     # TUM/bonn's 5000 factor gives 0.2 mm quanta and a ~13.1 m uint16 range
     assert 65535 / DATASET_DEPTH_SCALE["bonn_rgbd"] == pytest.approx(13.107)
+
+
+def test_gt_depth_npy_loads_unscaled(tmp_path):
+    """dydtof manifests reference float .npy depth maps — loaded as-is, not
+    divided by the integer-PNG scale."""
+    import numpy as np
+
+    from rollingdepth_tpu.eval import EvalSample, load_gt_depths
+
+    p = tmp_path / "d.npy"
+    np.save(p, np.full((4, 4), 2.5, np.float32))
+    out = load_gt_depths(EvalSample([], [str(p)], "x"), depth_scale=1000.0)
+    np.testing.assert_allclose(out[0], 2.5)
+
+
+def test_snippet_dataset_short_clip_and_dup_dilations():
+    """A 5-frame clip with dilations (1, 10, 25): capping maps 10 and 25 to
+    the same effective value (or below 1) — windows must be emitted once and
+    d<1 must be skipped, not crash range()."""
+    import numpy as np
+
+    from rollingdepth_tpu.training_data import SnippetDataConfig, SnippetLatentDataset
+
+    enc = lambda x: np.zeros((x.shape[0], 4, 4, 4), np.float32)
+    mk = lambda n, c: np.zeros((n, c, 32, 32), np.float32)
+    # 9 frames: dilations 10 and 25 both cap to 2 (dedupe); 5 frames: the
+    # reference cap formula maps every dilation to 0 (skip, don't crash)
+    ds = SnippetLatentDataset(
+        enc, [mk(9, 3), mk(5, 3)], [mk(9, 1), mk(5, 1)],
+        SnippetDataConfig(snippet_len=3, dilations=(1, 10, 25), batch_size=2),
+    )
+    rows = [(w[0],) + tuple(w[1]) for w in ds.windows]
+    assert len(rows) == len(set(rows)), "duplicated snippet windows"
+    assert all(w[0] == 0 for w in ds.windows)  # 5-frame clip contributes none
+    assert len(rows) == 7 + 5  # d=1 (7 windows) + capped d=2 (5 windows)
