@@ -204,6 +204,11 @@ void* rv_encoder_open(const char* path, int width, int height, double fps,
   auto* e = new Encoder();
   e->w = width;
   e->h = height;
+  if (fps <= 0 || width <= 0 || height <= 0) {
+    // fps<=0 would build an AVRational time_base with denominator 0
+    e->error = "invalid encoder parameters (fps/width/height must be > 0)";
+    return e;
+  }
   avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path);
   if (!e->fmt) {
     e->error = "cannot allocate output context";

@@ -218,6 +218,10 @@ def save_depth_outputs(pipe_out, video_path: Path, output_dir: Path, args) -> No
         try:
             output_fps = int(get_video_fps(video_path))
         except Exception:
+            output_fps = 0
+        if output_fps <= 0:
+            # containers without fps metadata probe as 0.0 (no exception);
+            # fps<=0 would make every encoder open fail AFTER the pipeline ran
             output_fps = 30
 
     if args.save_npy:
@@ -272,6 +276,12 @@ def run_relight(args, settings) -> None:
         prompt_kwargs["a_prompt"] = args.a_prompt
     if args.n_prompt is not None:
         prompt_kwargs["n_prompt"] = args.n_prompt
+    # frame_count=0 on the CLI means "unset": keep the pipeline's 253-frame
+    # cap (rollingimg_pipeline.py's hardcoded working length) instead of
+    # decoding an entire unbounded background clip into host memory
+    frame_kwargs = (
+        {"frame_count": settings.frame_count} if settings.frame_count > 0 else {}
+    )
     for fg in fg_videos:
         for bg in bg_videos:
             fg, bg = Path(fg), Path(bg)
@@ -279,18 +289,21 @@ def run_relight(args, settings) -> None:
                 input_fg_video_path=fg,
                 input_bg_video_path=bg,
                 start_frame=settings.start_frame,
-                frame_count=settings.frame_count,
                 seed=settings.seed if settings.seed is not None else ri.DEFAULT_SEED,
                 init_mode=args.init_mode,
                 verbose=settings.verbose,
                 max_vae_bs=settings.max_vae_bs,
+                **frame_kwargs,
                 **prompt_kwargs,
             )
             combined = np.concatenate([out.R_pred, out.G_pred, out.B_pred], axis=1)
             combined = np.clip(combined * 255, 0, 255).astype(np.uint8)
             combined = combined.transpose(0, 2, 3, 1)
             fps = args.output_fps if args.output_fps > 0 else 30
-            write_video_from_numpy(combined, output_dir / f"{fg.stem}_rgb.mp4",
+            # one output per (fg, bg) pair — a bare fg stem would overwrite
+            # earlier results when several backgrounds are given
+            stem = fg.stem if len(bg_videos) == 1 else f"{fg.stem}_{bg.stem}"
+            write_video_from_numpy(combined, output_dir / f"{stem}_rgb.mp4",
                                    fps=fps, verbose=settings.verbose)
     logging.info("Finished. Saved to %s", output_dir)
 

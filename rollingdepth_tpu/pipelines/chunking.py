@@ -61,16 +61,18 @@ def pad_zeros_dev(cache: Dict[Any, Any], x: jnp.ndarray, target: int) -> jnp.nda
 
 
 def pick_chunk(s: int, max_chunk: int, dp: int = 1) -> int:
-    """Chunk size for ``s`` work items: ``max_chunk`` whenever s reaches it.
+    """Per-device chunk size for ``s`` work items sharded over ``dp``:
+    ``max_chunk`` whenever the per-device share reaches it.
 
     The chunk size must NOT be derived from s beyond the small-s clamp —
     a length-dependent chunk forces a full UNet/VAE recompile for every new
     clip length, which costs minutes where the padding it saved costs
-    milliseconds.  Small s clamps to the next multiple of 4 so tiny test
-    workloads stay tiny."""
-    if s >= max_chunk:
+    milliseconds.  Small shares clamp to the next multiple of 4 so tiny
+    test workloads stay tiny (and dp meshes don't pad s to max_chunk*dp
+    rows when ceil(s/dp) items per device would do)."""
+    if s >= max_chunk * dp:
         return max_chunk
-    return max(1, min(max_chunk, round_up(s, 4)))
+    return max(1, min(max_chunk, round_up(-(-s // dp), 4)))
 
 
 def encode_frames(cache, vae, vae_params, frames: jnp.ndarray, vae_bs: int) -> jnp.ndarray:

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..aligner import AlignerConfig, DepthAligner
-from .rollingdepth import RollingDepthPipeline, _pad_rows
+from .rollingdepth import RollingDepthPipeline
 from .snippets import cap_max_dilation, snippet_index_matrix
 
 
@@ -80,6 +80,7 @@ class ICLightPassthroughPipeline:
             ch_snips = [s[:, :, ch : ch + 1] for s in snippet_rgb_ls]
             merged, _s, _t, _h = aligner.run(ch_snips, dilations)
             merged = merged - merged.min()
-            merged = merged / merged.max()
+            # constant channel (e.g. pure black): 0/0 would NaN the output
+            merged = merged / np.maximum(merged.max(), 1e-8)
             channels.append(np.asarray(merged * 2.0 - 1.0, dtype=np.float32))
         return np.concatenate(channels, axis=1)  # [N, 3, H, W] in [-1, 1]

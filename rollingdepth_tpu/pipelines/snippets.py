@@ -33,7 +33,11 @@ def cap_max_dilation(seq_len: int, snippet_len: int, dilation: int, verbose: boo
         msg = f"dilation = {dilation} is too big for {seq_len} frames. Reduced to {max_allowed_gap}"
         (logger.info if verbose else logger.debug)(msg)
         dilation = min(max_allowed_gap, dilation)
-    return dilation
+    # divergence from the reference: its formula returns 0 for
+    # snippet_len <= seq_len < 2*snippet_len (e.g. 5 frames, snippet 3) and
+    # then crashes building range() with step 0, even though dilation=1
+    # always fits such clips; clamp to the smallest valid dilation instead
+    return max(1, dilation)
 
 
 def current_gap(i_step: int, total_step: int, dilation_start: int, dilation_end: int) -> int:

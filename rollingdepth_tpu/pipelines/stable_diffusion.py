@@ -21,7 +21,7 @@ import numpy as np
 from ..models.unet import UNet2DCondition, unet_apply
 from ..models.vae import AutoencoderKL
 from ..schedulers.dpmsolver import DPMSolverMultistepScheduler, DPMState
-from .rollingimg import encode_prompt_inner
+from .rollingimg import encode_prompt_pair
 
 Params = Dict[str, Any]
 
@@ -53,11 +53,8 @@ class StableDiffusionPipeline:
 
     # ------------------------------------------------------------------
     def _embed(self, prompt: str, negative_prompt: str, batch: int):
-        c = encode_prompt_inner(self.tokenizer, self.text_apply, prompt)
-        uc = encode_prompt_inner(self.tokenizer, self.text_apply, negative_prompt)
-        n = max(len(c), len(uc))
-        c = jnp.concatenate([c] * -(-n // len(c)), axis=0)[:n].reshape(1, -1, c.shape[-1])
-        uc = jnp.concatenate([uc] * -(-n // len(uc)), axis=0)[:n].reshape(1, -1, uc.shape[-1])
+        # chunk-balanced [1, 77*k, D] pair (shared with the relight path)
+        c, uc = encode_prompt_pair(self.tokenizer, self.text_apply, prompt, negative_prompt)
         c = jnp.broadcast_to(c, (batch,) + c.shape[1:])
         uc = jnp.broadcast_to(uc, (batch,) + uc.shape[1:])
         return c.astype(self.dtype), uc.astype(self.dtype)

@@ -179,13 +179,13 @@ def test_snippet_dataset_short_clip_and_dup_dilations():
 
     enc = lambda x: np.zeros((x.shape[0], 4, 4, 4), np.float32)
     mk = lambda n, c: np.zeros((n, c, 32, 32), np.float32)
-    # 9 frames: dilations 10 and 25 both cap to 2 (dedupe); 5 frames: the
-    # reference cap formula maps every dilation to 0 (skip, don't crash)
+    # 9 frames: dilations 10 and 25 both cap to 2 (dedupe); 5 frames: every
+    # dilation clamps to 1 (cap_max_dilation's min-valid clamp) -> one set
     ds = SnippetLatentDataset(
         enc, [mk(9, 3), mk(5, 3)], [mk(9, 1), mk(5, 1)],
         SnippetDataConfig(snippet_len=3, dilations=(1, 10, 25), batch_size=2),
     )
     rows = [(w[0],) + tuple(w[1]) for w in ds.windows]
     assert len(rows) == len(set(rows)), "duplicated snippet windows"
-    assert all(w[0] == 0 for w in ds.windows)  # 5-frame clip contributes none
-    assert len(rows) == 7 + 5  # d=1 (7 windows) + capped d=2 (5 windows)
+    # clip0: d=1 (7 windows) + capped d=2 (5); clip1: clamped d=1 (3), once
+    assert len(rows) == 7 + 5 + 3
