@@ -85,3 +85,17 @@ def test_pick_chunk_is_length_independent():
     assert _pick_chunk(6, 16) == 8
     assert _pick_chunk(15, 16) == 16
     assert _pick_chunk(1, 16) == 4
+
+
+def test_pick_chunk_dp_aware():
+    """Small workloads size the chunk by per-device share on dp meshes: 6
+    snippets on dp=4 should run 2-per-device rows (chunk 4 after the
+    multiple-of-4 clamp), not pad to max_chunk*dp rows."""
+    from rollingdepth_tpu.pipelines.chunking import pick_chunk
+
+    assert pick_chunk(100, 16) == 16          # large s: always max_chunk
+    assert pick_chunk(10, 16) == 12           # dp=1 small clamp (round up 4)
+    assert pick_chunk(6, 16, dp=4) == 4       # ceil(6/4)=2 -> clamp 4
+    assert pick_chunk(20, 16, dp=4) == 8      # ceil(20/4)=5 -> clamp 8
+    assert pick_chunk(64, 16, dp=4) == 16     # s >= max_chunk*dp
+    assert pick_chunk(1, 16) == 4
