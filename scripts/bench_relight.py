@@ -88,7 +88,13 @@ def main():
     args = list(sys.argv[1:])
     sb = 8
     vb = 16
-    decode_pass = False
+    # decode as its own compiled pass is the production default (the fused
+    # UNet+VAE Pallas module faults the v5e worker — scripts/bisect_relight.py,
+    # bisected 2026-08-18); --fused-decode opts back into the composed program
+    decode_pass = True
+    if "--fused-decode" in args:
+        decode_pass = False
+        args.remove("--fused-decode")
     if "--decode-pass" in args:
         decode_pass = True
         args.remove("--decode-pass")
