@@ -37,7 +37,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rollingdepth_jax_cache"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
-def flops_per_frame(h=768, w=432, dilation_count=2, snippet_len=3, unet_steps=1):
+def flops_per_frame(h=768, w=432, dilation_count=2, snippet_len=3, unet_steps=1,
+                    refine_step=0):
     """Analytic FLOP model of the fast preset per video frame.
 
     The widely quoted per-module costs (SD UNet ~680G, VAE encode ~560G,
@@ -62,8 +63,19 @@ def flops_per_frame(h=768, w=432, dilation_count=2, snippet_len=3, unet_steps=1)
     vae_scale = (h * w) / (512 * 512)
     enc = 2 * 560e9 * vae_scale
     dec = 2 * 1150e9 * vae_scale
-    # per frame: 1 encode; per dilation: `unet_steps` UNet evals + 1 decode
-    return enc + dilation_count * (unet_steps * unet_per_frame + dec)
+    # per frame: 1 encode; per dilation: `unet_steps` UNet evals + 1 decode.
+    # This deliberately underprices the reference (each frame actually
+    # appears in ~snippet_len snippets per dilation, so the reference runs
+    # ~3x these UNet evals and decodes — keeping vs_baseline a conservative
+    # lower bound).
+    total = enc + dilation_count * (unet_steps * unet_per_frame + dec)
+    if refine_step:
+        # refine (rollingdepth_pipeline.py:517-633): refine_step passes of
+        # overlapping-snippet UNet evals (>= 1 eval/frame/step at stride-1
+        # windows — again undercounting the ~3x snippet multiplicity), plus
+        # one depth re-encode before and one final decode after
+        total += refine_step * unet_per_frame + enc + dec
+    return total
 
 
 def kernel_parity_preamble():
@@ -208,8 +220,12 @@ def main():
     )
     # NEW-LENGTH clip: per-chunk programs are keyed by chunk shape, so a
     # different clip length must reuse every heavy program and add only
-    # trivial glue compiles (target: < 5 s extra vs its own steady state)
-    alt = (rng.rand(44, 3, h, w) * 255).astype(np.uint8)
+    # trivial glue compiles (target: < 5 s extra vs its own steady state).
+    # With cap_dilation OFF (paper preset) the clip must still fit the
+    # largest uncapped window: (snippet_len-1)*max(dilations)+1 frames
+    # (the reference IndexErrors below that, rollingdepth_pipeline.py:491)
+    alt_len = 44 if cap_dil else max(44, 2 * max(dilations) + 2)
+    alt = (rng.rand(alt_len, 3, h, w) * 255).astype(np.uint8)
     t0 = time.perf_counter()
     out = pipe.forward(_upload(alt), **kwargs)
     fetch_and_check(out.depth_pred)
@@ -220,7 +236,7 @@ def main():
     second = time.perf_counter() - t0
     new_len_compile_s = first - second
     print(
-        f"[bench] new-length (44f) first {first:.1f}s steady {second:.1f}s "
+        f"[bench] new-length ({alt_len}f) first {first:.1f}s steady {second:.1f}s "
         f"-> compile overhead {new_len_compile_s:.1f}s",
         file=sys.stderr,
     )
@@ -273,10 +289,11 @@ def main():
     print(f"[bench] fetch-inclusive single-clip {fetch_incl_fps:.2f} fps", file=sys.stderr)
 
     # 3090 estimate for the same workload (documented in module docstring);
-    # the refine FLOPs of full/paper are NOT modeled, so their vs_baseline is
-    # conservative (refine adds ~refine_step UNet evals/frame to the
-    # reference's cost too)
-    est_3090_fps = 71e12 * 0.40 / flops_per_frame(h, w, dilation_count=len(dilations))
+    # full/paper include the refine passes in the model (the reference pays
+    # them too), priced at the same conservative 1-eval/frame granularity
+    est_3090_fps = 71e12 * 0.40 / flops_per_frame(
+        h, w, dilation_count=len(dilations), refine_step=refine_step
+    )
     result = {
         "metric": "depth_fps_768p_fast_1chip" if mode == "fast"
         else f"depth_fps_{mode}_1chip",
