@@ -130,6 +130,9 @@ def main():
         i = args.index("--mode")
         mode = args[i + 1]
         del args[i : i + 2]
+    quantize = "--quantize" in args  # W8A8 UNet serving mode (ops/quant.py)
+    if quantize:
+        args.remove("--quantize")
     sb = vb = 16  # chunk-size experiments: --sb N --vb N
     if "--sb" in args:
         i = args.index("--sb")
@@ -163,6 +166,10 @@ def main():
     unet_params = device_random_params(
         lambda: unet.init(jax.random.PRNGKey(0)), jax.random.PRNGKey(0), jnp.bfloat16
     )
+    if quantize:
+        from rollingdepth_tpu.ops.quant import quantize_unet_params
+
+        unet_params = jax.jit(quantize_unet_params)(unet_params)
     vae_params = device_random_params(
         lambda: vae.init(jax.random.PRNGKey(1)), jax.random.PRNGKey(1), jnp.bfloat16
     )
@@ -294,9 +301,9 @@ def main():
     est_3090_fps = 71e12 * 0.40 / flops_per_frame(
         h, w, dilation_count=len(dilations), refine_step=refine_step
     )
+    metric = "depth_fps_768p_fast_1chip" if mode == "fast" else f"depth_fps_{mode}_1chip"
     result = {
-        "metric": "depth_fps_768p_fast_1chip" if mode == "fast"
-        else f"depth_fps_{mode}_1chip",
+        "metric": metric + ("_w8a8" if quantize else ""),
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / est_3090_fps, 3),

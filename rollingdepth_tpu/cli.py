@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Snippets denoised per device step (default: 8, or 16 on TPU).")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--quantize", type=str, default="none",
+                        choices=["none", "w8a8"],
+                        help="Serving-mode weight+activation quantization of the UNet "
+                             "(ops/quant.py); int8 MXU path, no reference equivalent.")
     parser.add_argument("--attn-backend", type=str, default=None,
                         choices=["auto", "flash", "xla"], dest="attn_backend",
                         help="Attention kernel: auto (Pallas flash on TPU), or force "
@@ -127,7 +131,8 @@ def run_depth(args, settings) -> None:
 
     logging.info("Loading checkpoint from %s", args.checkpoint)
     pipe = load_rollingdepth_pipeline(
-        args.checkpoint, dtype=settings.dtype, snippet_batch=settings.snippet_batch
+        args.checkpoint, dtype=settings.dtype, snippet_batch=settings.snippet_batch,
+        quantize=args.quantize,
     )
 
     output_dir = Path(args.output_dir)
@@ -260,7 +265,8 @@ def run_relight(args, settings) -> None:
     from .io.pretrained_relight import load_relight_pipeline
 
     pipe = load_relight_pipeline(args.checkpoint, dtype=settings.dtype,
-                                 snippet_batch=settings.snippet_batch)
+                                 snippet_batch=settings.snippet_batch,
+                                 quantize=args.quantize)
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     from .parallel.multihost import shard_work

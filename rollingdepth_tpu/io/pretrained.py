@@ -94,10 +94,22 @@ def load_vae(checkpoint_dir: str, dtype=jnp.float32, subfolder: str = "vae"):
     return model, params
 
 
+def apply_quantize(unet_params, quantize):
+    """Optional load-time weight transform for the serving path."""
+    if quantize in (None, "none"):
+        return unet_params
+    if quantize == "w8a8":
+        from ..ops.quant import quantize_unet_params
+
+        return quantize_unet_params(unet_params)
+    raise ValueError(f"unknown quantize mode {quantize!r} (expected 'w8a8')")
+
+
 def load_rollingdepth_pipeline(
     checkpoint_dir: str,
     dtype="fp16",
     snippet_batch: int = 8,
+    quantize=None,
 ):
     """Assemble the depth pipeline from a rollingdepth-v1-0-style checkpoint.
 
@@ -109,6 +121,7 @@ def load_rollingdepth_pipeline(
     jdtype = DTYPE_MAP[str(dtype)] if isinstance(dtype, str) else dtype
 
     unet, unet_params = load_unet(checkpoint_dir, jdtype)
+    unet_params = apply_quantize(unet_params, quantize)
     vae, vae_params = load_vae(checkpoint_dir, jdtype)
     sched_cfg = DDIMConfig.from_dict(load_config(checkpoint_dir, "scheduler"))
     scheduler = DDIMScheduler(sched_cfg)

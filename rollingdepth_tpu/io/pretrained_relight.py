@@ -109,6 +109,7 @@ def load_relight_pipeline(
     dtype="fp16",
     snippet_batch: int = 4,
     pipeline_cls=None,
+    quantize=None,
 ):
     from ..pipelines.rollingimg import RollingImgPipeline
 
@@ -123,6 +124,11 @@ def load_relight_pipeline(
     unet, unet_params, base_unet, base_params = load_relight_unet(
         checkpoint_dir, iclight_offset_path, jdtype
     )
+    # quantize the 12-ch relight UNet only (20 denoise evals/snippet — the
+    # hot path); the base t2i UNet runs once per clip for init latents
+    from .pretrained import apply_quantize
+
+    unet_params = apply_quantize(unet_params, quantize)
     vae, vae_params = load_vae(checkpoint_dir, jdtype)
     text_model, text_params = load_text_encoder(checkpoint_dir)
     tokenizer = CLIPTokenizer.from_pretrained(checkpoint_dir)

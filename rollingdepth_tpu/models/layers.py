@@ -56,9 +56,20 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.flo
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["kernel"])
+    if "kernel_q" in p:  # W8A8 serving mode (ops/quant.py)
+        from ..ops.quant import quantize_activation
+
+        xq, sx = quantize_activation(x)
+        acc = jax.lax.dot_general(
+            xq, p["kernel_q"],
+            (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (acc.astype(jnp.float32) * (sx * p["w_scale"])).astype(x.dtype)
+    else:
+        y = jnp.dot(x, p["kernel"])
     if "bias" in p:
-        y = y + p["bias"]
+        y = y + p["bias"].astype(y.dtype)
     return y
 
 
@@ -82,13 +93,27 @@ def conv2d(
 ) -> jnp.ndarray:
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
-    y = jax.lax.conv_general_dilated(
-        x,
-        p["kernel"].astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    if "kernel_q" in p:  # W8A8 serving mode (ops/quant.py)
+        from ..ops.quant import quantize_activation
+
+        xq, sx = quantize_activation(x)
+        acc = jax.lax.conv_general_dilated(
+            xq,
+            p["kernel_q"],
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = (acc.astype(jnp.float32) * (sx * p["w_scale"])).astype(x.dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x,
+            p["kernel"].astype(x.dtype),
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     return y
@@ -311,6 +336,16 @@ def upsample_nearest_conv(p: Params, x: jnp.ndarray, output_size=None) -> jnp.nd
     intermediate activation in HBM.  This upsample+conv stack is ~28% of the
     SD VAE decoder's FLOPs, the hottest block of the fast preset."""
     n, h, w, c = x.shape
+    if "kernel_q" in p:
+        # W8A8: the parity-fold rewrite needs the fp kernel; materialize the
+        # nearest-2x input and run the dispatching int8 conv instead (the
+        # int8 MXU speedup dominates the fold's 2.25x MAC saving)
+        if output_size is None:
+            output_size = (2 * h, 2 * w)
+        th, tw = output_size
+        rows = jnp.floor(jnp.arange(th) * (h / th)).astype(jnp.int32)
+        cols = jnp.floor(jnp.arange(tw) * (w / tw)).astype(jnp.int32)
+        return conv2d(p, x[:, rows][:, :, cols], padding=1)
     if output_size is None or output_size == (2 * h, 2 * w):
         kernel = p["kernel"].astype(x.dtype)
         folded = _fold_upsample_kernel(kernel)

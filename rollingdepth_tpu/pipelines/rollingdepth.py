@@ -183,7 +183,16 @@ class RollingDepthPipeline:
         # sharded over dp with zero cross-chip attention traffic
         self.mesh = mesh
 
-        cast = lambda tree: jax.tree.map(lambda x: x.astype(dtype), tree)
+        # cast params to the compute dtype — except the W8A8 mode's int8
+        # kernels and their fp32 dequant scales (ops/quant.py)
+        def _cast_leaf(path, x):
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                return x
+            if path and getattr(path[-1], "key", None) == "w_scale":
+                return x
+            return x.astype(dtype)
+
+        cast = lambda tree: jax.tree_util.tree_map_with_path(_cast_leaf, tree)
         self.unet_params = cast(unet_params)
         self.vae_params = cast(vae_params)
         self.empty_text_embed = jnp.asarray(empty_text_embed, dtype=dtype)
