@@ -6,6 +6,13 @@ The fast-preset wall is the UNet's convs+matmuls (BASELINE.md: whole-UNet
 lower to it (probed on-chip by scripts/bench_int8.py), a weight+activation
 int8 mode roughly halves the UNet conv/projection time.
 
+MEASURED on this environment's XLA build (2026-08-18, bench_int8.py):
+the 2x path does NOT materialize — large s8 dots reach 1.39x bf16, deep
+convs 1.08x, and shallow convs (where SD-UNet FLOPs concentrate) run 3.2x
+SLOWER.  W8A8 is therefore net-negative here and remains strictly opt-in;
+the implementation is kept (correctness-tested, tests/test_quant.py) for
+toolchains that lower s8xs8->s32 convolutions natively.
+
 Scheme (standard W8A8, chosen for zero calibration data — no real
 checkpoints exist in this environment, and dynamic ranges make the mode
 checkpoint-agnostic):
