@@ -132,7 +132,12 @@ def main():
         del args[i : i + 2]
     quantize = "--quantize" in args  # W8A8 UNet serving mode (ops/quant.py)
     if quantize:
+        i = args.index("--quantize")
         args.remove("--quantize")
+        # accept the CLI's value form too (`--quantize w8a8`) so the two
+        # entry points share one syntax; only w8a8 exists
+        if i < len(args) and args[i] == "w8a8":
+            del args[i]
     sb = vb = 16  # chunk-size experiments: --sb N --vb N
     if "--sb" in args:
         i = args.index("--sb")

@@ -337,9 +337,13 @@ def upsample_nearest_conv(p: Params, x: jnp.ndarray, output_size=None) -> jnp.nd
     SD VAE decoder's FLOPs, the hottest block of the fast preset."""
     n, h, w, c = x.shape
     if "kernel_q" in p:
-        # W8A8: the parity-fold rewrite needs the fp kernel; materialize the
-        # nearest-2x input and run the dispatching int8 conv instead (the
-        # int8 MXU speedup dominates the fold's 2.25x MAC saving)
+        # W8A8 correctness fallback: the parity-fold rewrite needs the fp
+        # kernel, so materialize the nearest-2x input and run the
+        # dispatching int8 conv.  This both re-creates the 4x intermediate
+        # the fold exists to avoid AND (measured, scripts/bench_int8.py
+        # 2026-08-18) runs on an XLA build where shallow int8 convs are
+        # 3.2x SLOWER than bf16 — consistent with W8A8 being opt-in
+        # (ops/quant.py); do not expect a speedup here
         if output_size is None:
             output_size = (2 * h, 2 * w)
         th, tw = output_size

@@ -48,12 +48,16 @@ def unet_param_sharding(params: Dict[str, Any], mesh: Mesh, tp_axis: str = "tp")
         leaf_name = names[-1] if names else ""
         parent = names[-2] if len(names) >= 2 else ""
         if parent in COLUMN_PARALLEL:
-            if leaf_name == "kernel" and leaf.ndim == 2 and leaf.shape[1] % mesh.shape[tp_axis] == 0:
+            # W8A8 trees carry kernel_q (same [in, out] layout) + a per-out
+            # w_scale — shard them along the same output axis as the fp path
+            if leaf_name in ("kernel", "kernel_q") and leaf.ndim == 2 and leaf.shape[1] % mesh.shape[tp_axis] == 0:
                 return NamedSharding(mesh, P(None, tp_axis))
-            if leaf_name == "bias" and leaf.shape[0] % mesh.shape[tp_axis] == 0:
+            if leaf_name in ("bias", "w_scale") and leaf.shape[0] % mesh.shape[tp_axis] == 0:
                 return NamedSharding(mesh, P(tp_axis))
         if parent in ROW_PARALLEL:
-            if leaf_name == "kernel" and leaf.ndim == 2 and leaf.shape[0] % mesh.shape[tp_axis] == 0:
+            # kernel_q row-shards like kernel; the per-OUT w_scale and bias
+            # stay replicated (the out axis is full on every shard)
+            if leaf_name in ("kernel", "kernel_q") and leaf.ndim == 2 and leaf.shape[0] % mesh.shape[tp_axis] == 0:
                 return NamedSharding(mesh, P(tp_axis, None))
             return NamedSharding(mesh, P())
         return NamedSharding(mesh, P())

@@ -47,7 +47,12 @@ from .chunking import (
     pick_chunk as _pick_chunk,
     row_capacity,
 )
-from .snippets import cap_max_dilation, current_gap, snippet_index_matrix
+from .snippets import (
+    cap_max_dilation,
+    current_gap,
+    partition_index_matrix,
+    snippet_index_matrix,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -227,6 +232,8 @@ class RollingDepthPipeline:
         restore_res: bool = False,
         merge_in_latent: bool = False,
         latent_coalign_kwargs: Optional[Dict] = None,
+        refine_in_latent: Optional[bool] = None,
+        turbo_refine: Optional[bool] = None,
     ) -> RollingDepthOutput:
         if processing_res > 1024:
             logger.warning(
@@ -264,6 +271,8 @@ class RollingDepthPipeline:
             unload_snippet=unload_snippet,
             merge_in_latent=merge_in_latent,
             latent_coalign_kwargs=latent_coalign_kwargs,
+            refine_in_latent=refine_in_latent,
+            turbo_refine=turbo_refine,
         )
 
         if restore_res:
@@ -304,6 +313,18 @@ class RollingDepthPipeline:
         # redundancy of the reference merge); snippet_ls comes back empty
         latent_coalign_kwargs: Optional[Dict] = None,  # AlignerConfig overrides
         # for the latent-space solve (defaults: factor=3, depth_loss_weight=0)
+        refine_in_latent: Optional[bool] = None,  # EXPERIMENTAL: feed the
+        # merged LATENT directly into refinement, skipping the reference's
+        # decode -> minmax-renorm -> re-encode round trip
+        # (rollingdepth_pipeline.py:315-343).  None = OFF: the skipped
+        # renormalization is load-bearing (composed-fixture drift corr 0.87
+        # vs >0.999 with it), and the round trip it saves is only ~7% of a
+        # refine clip — opt in explicitly for serving paths that tolerate it
+        turbo_refine: Optional[bool] = None,  # TURBO stage 3: refine with
+        # partition windows (~N/n UNet evals per step) instead of the
+        # reference's stride-1 windows (~N evals per step) — see
+        # snippets.partition_index_matrix; None follows merge_in_latent
+        # (zero drift on the composed parity fixture)
     ) -> RollingDepthOutput:
         # ---- argument validation/broadcast (reference :213-241)
         assert 1 in dilations, "dilations should include 1"
@@ -400,6 +421,21 @@ class RollingDepthPipeline:
                     self._infer_snippets(rgb_latent, init_noise_single, idx, infer_steps)
                 )
 
+        # TURBO stage flags.  turbo_refine (partition windows) follows
+        # merge_in_latent — its drift on the composed parity fixture is zero.
+        # refine_in_latent is opt-in ONLY: handing the merged latent straight
+        # to refinement skips the reference's minmax renormalization, which
+        # measurably matters (fixture corr drops 0.999 -> 0.87) while saving
+        # just one decode+encode (~7% of a refine clip).
+        if refine_in_latent is None:
+            refine_in_latent = False
+        if turbo_refine is None:
+            turbo_refine = merge_in_latent
+        refine_latent_direct = bool(
+            merge_in_latent and refine_step > 0 and refine_in_latent
+        )
+
+        merged_lat = None
         if merge_in_latent:
             # ---- TURBO: latent-space co-alignment + merge.
             # The reference aligns and merges in decoded depth space
@@ -428,12 +464,19 @@ class RollingDepthPipeline:
             if verbose:
                 _sync(merged_lat)
             timings["coalign"] = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            depth = self._decode_depth(merged_lat.astype(self.dtype), max_vae_bs)  # [N, H, W]
-            depth_coaligned = depth[:, None].astype(jnp.float32)
-            if verbose:
-                _sync(depth_coaligned)
-            timings["decode"] = time.perf_counter() - t0
+            if refine_latent_direct and not fetch_output:
+                # TURBO stage 2: refinement reads the merged latent directly;
+                # the coaligned DEPTH is never materialized.  Serving callers
+                # (fetch_output=False) skip its decode entirely —
+                # depth_coaligned comes back None on this path.
+                depth_coaligned = None
+            else:
+                t0 = time.perf_counter()
+                depth = self._decode_depth(merged_lat.astype(self.dtype), max_vae_bs)  # [N, H, W]
+                depth_coaligned = depth[:, None].astype(jnp.float32)
+                if verbose:
+                    _sync(depth_coaligned)
+                timings["decode"] = time.perf_counter() - t0
         else:
             # decode ALL snippet latents in one flat pass: per-chunk decode
             # padding used to waste ~20% of decoder FLOPs (e.g. 288 decoded
@@ -466,20 +509,34 @@ class RollingDepthPipeline:
             timings["coalign"] = time.perf_counter() - t0
 
         # min-max renormalize to [-1, 1] (reference :315-318) as ONE program
-        nkey = ("minmax_norm", depth_coaligned.shape, str(depth_coaligned.dtype))
-        if nkey not in self._jit_cache:
-            self._jit_cache[nkey] = jax.jit(
-                lambda x: ((x - x.min()) / (x.max() - x.min())) * 2.0 - 1.0
-            )
-        depth_coaligned = self._jit_cache[nkey](depth_coaligned)  # [N, 1, H, W]
+        if depth_coaligned is not None:
+            nkey = ("minmax_norm", depth_coaligned.shape, str(depth_coaligned.dtype))
+            if nkey not in self._jit_cache:
+                self._jit_cache[nkey] = jax.jit(
+                    lambda x: ((x - x.min()) / (x.max() - x.min())) * 2.0 - 1.0
+                )
+            depth_coaligned = self._jit_cache[nkey](depth_coaligned)  # [N, 1, H, W]
         t0 = time.perf_counter()
 
         # ---- refinement (reference :323-343)
         if refine_step > 0:
             t0 = time.perf_counter()
-            depth3 = jnp.repeat(depth_coaligned, 3, axis=1)  # N 3 H W
-            depth3 = jnp.transpose(depth3, (0, 2, 3, 1)).astype(self.dtype)
-            depth_latent = self._encode_frames(depth3, max_vae_bs)
+            if refine_latent_direct:
+                # TURBO stage 2: the merged latent IS the refine input.  The
+                # reference round-trips through pixel space (decode the
+                # coaligned depth, minmax-renorm it, re-encode —
+                # rollingdepth_pipeline.py:315-343) purely to hand the
+                # refiner a [-1,1]-normalized depth video; the latent merge
+                # already averaged model-native latents whose decode sits in
+                # that range, so the round trip buys normalization at the
+                # cost of decode+encode error and two VAE passes.  Drift vs
+                # the reference hand-off is bounded by
+                # tests/test_e2e_parity.py::test_turbo_refine_close_to_reference.
+                depth_latent = merged_lat.astype(self.dtype)
+            else:
+                depth3 = jnp.repeat(depth_coaligned, 3, axis=1)  # N 3 H W
+                depth3 = jnp.transpose(depth3, (0, 2, 3, 1)).astype(self.dtype)
+                depth_latent = self._encode_frames(depth3, max_vae_bs)
             depth_latent = self._refine(
                 rgb_latent,
                 depth_latent,
@@ -487,6 +544,7 @@ class RollingDepthPipeline:
                 refine_step=refine_step,
                 snippet_len=refine_snippet_len,
                 start_dilation=refine_start_dilation,
+                partition=bool(turbo_refine),
             )
             depth_dev = self._decode_depth(depth_latent, max_vae_bs)[:, None]  # [N,1,H,W]
             if verbose and not fetch_output:
@@ -757,6 +815,7 @@ class RollingDepthPipeline:
         snippet_len: int,
         start_dilation: int,
         skip_t_ratio: float = 0.5,
+        partition: bool = False,
     ) -> jnp.ndarray:
         """Coarse-to-fine rolling refinement (reference :517-633).
 
@@ -764,7 +823,14 @@ class RollingDepthPipeline:
         annealed-dilation snippet windows, runs the shared per-chunk
         denoise+scatter program over them, and averages overlapping latents.
         All device programs are keyed by (chunk, n, h, w, capacity bucket) —
-        compiled once, reused for every step AND every clip length."""
+        compiled once, reused for every step AND every clip length.
+
+        ``partition=True`` (TURBO) replaces each step's stride-1 window set
+        (~seq_len windows, every frame denoised ~snippet_len times and
+        averaged) with a phase-rotated partition (~seq_len/snippet_len
+        windows, every frame denoised ~once) — snippet_len x fewer UNet
+        evals per step at a bounded drift (see
+        snippets.partition_index_matrix)."""
         seq_len = rgb_latent.shape[0]
         total_steps = int(refine_step / skip_t_ratio)
         all_ts = self.scheduler.timesteps(total_steps)
@@ -776,7 +842,10 @@ class RollingDepthPipeline:
         idx_list, true_counts = [], []
         for i_step in range(n_steps):
             gap = current_gap(i_step, n_steps, start_dilation, 1)
-            m = snippet_index_matrix(seq_len, snippet_len, gap + 1)
+            if partition:
+                m = partition_index_matrix(seq_len, snippet_len, gap + 1, phase=i_step)
+            else:
+                m = snippet_index_matrix(seq_len, snippet_len, gap + 1)
             idx_list.append(m)
             true_counts.append(m.shape[0])
         dp = self.mesh.shape["dp"] if self.mesh is not None else 1

@@ -109,6 +109,51 @@ def snippet_index_matrix(
     return idx
 
 
+def partition_index_matrix(
+    seq_len: int,
+    snippet_len: int,
+    dilation: int,
+    phase: int = 0,
+) -> np.ndarray:
+    """``[S, n]`` windows covering every frame with ~1x (not ~n x) overlap.
+
+    TURBO-refine scheduling: the reference's refinement emits stride-1
+    windows (every frame starts one —
+    /root/reference/rollingdepth/rollingdepth_pipeline.py:572-580), so each
+    frame is denoised by ~``snippet_len`` overlapping windows per step and
+    the overlaps are averaged (:586-629).  That costs ~n x the minimum UNet
+    work per step.  This builder instead TILES each dilation chain (the
+    frames of one residue class mod ``dilation``) with consecutive length-n
+    windows, giving ~seq_len/n windows per step — every frame still covered
+    every step (the noise schedule stays uniform), cross-window coupling
+    restored by rotating ``phase`` across steps so window boundaries never
+    pin to the same frames.  Head/tail windows clamp within their chain and
+    may overlap; consumers average overlaps exactly as for stride-1.
+    """
+    n, d = snippet_len, dilation
+    wins = []
+    for r in range(d):
+        chain = np.arange(r, seq_len, d)
+        length = len(chain)
+        if length == 0:
+            continue
+        if length < n:
+            # degenerate chain (only reachable with cap_dilation off on
+            # short clips): one clamped window, duplicate indices allowed —
+            # the mask-weighted scatter averages duplicates harmlessly
+            wins.append(chain[np.clip(np.arange(length - n, length), 0, length - 1)])
+            continue
+        p0 = phase % n
+        starts = list(range(p0, length - n + 1, n))
+        if p0 > 0:
+            starts.insert(0, 0)  # head: cover chain positions [0, p0)
+        if not starts or starts[-1] + n < length:
+            starts.append(length - n)  # tail: cover the last positions
+        for s0 in starts:
+            wins.append(chain[s0 : s0 + n])
+    return np.stack(wins).astype(np.int32)
+
+
 def coverage_count(index_matrix: np.ndarray, seq_len: int) -> np.ndarray:
     """Per-frame count of covering windows, ``[seq_len]`` int32."""
     return np.bincount(index_matrix.reshape(-1), minlength=seq_len).astype(np.int32)

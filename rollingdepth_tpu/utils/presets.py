@@ -54,6 +54,16 @@ class InferenceSettings:
     # tests/test_e2e_parity.py::test_latent_merge_close_to_reference; pass
     # --merge-in-latent false for the exact reference merge path.
     merge_in_latent: bool = False
+    # TURBO refinement (effective only with merge_in_latent and refine_step>0).
+    # turbo_refine partitions each refine step's windows (~snippet_len x fewer
+    # UNet evals; zero drift on the composed fixture); None follows
+    # merge_in_latent, --turbo-refine false restores stride-1 windows.
+    # refine_in_latent (EXPERIMENTAL, default OFF) feeds the merged latent
+    # straight into refinement, skipping decode->minmax-renorm->re-encode —
+    # the skipped renormalization costs real drift (fixture corr 0.87).
+    # Drift bounds: tests/test_e2e_parity.py::test_turbo_refine_close_to_reference.
+    refine_in_latent: Optional[bool] = None
+    turbo_refine: Optional[bool] = None
 
 
 # Named presets, layered over the base defaults
@@ -64,12 +74,16 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "res": 1024, "dilations": [1, 25], "refine_step": 0,
         "merge_in_latent": True,
     },
-    "full": {"res": 1024, "dilations": [1, 10, 25], "refine_step": 10},
+    "full": {
+        "res": 1024, "dilations": [1, 10, 25], "refine_step": 10,
+        "merge_in_latent": True,
+    },
     "paper": {
         "dilations": [1, 10, 25],
         "cap_dilation": False,
         "dtype": "fp32",
         "refine_step": 10,
+        "merge_in_latent": True,
     },
     "none": {},
 }

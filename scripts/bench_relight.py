@@ -18,6 +18,8 @@ the same estimated-3090 protocol as bench.py (40% fp16 utilization of
 71 TFLOP/s) with a relight FLOP model built from the ACTUAL snippet counts.
 
 Usage: python scripts/bench_relight.py [n_frames] [n_clips] [--sb N] [--vb N]
+       [--trips N] (per-dispatch chunk-trip bound, 0=unbounded; default 1 —
+       the v5e worker-fault mitigation) [--fused-decode]
 """
 
 import concurrent.futures
@@ -106,6 +108,14 @@ def main():
         i = args.index("--vb")
         vb = int(args[i + 1])
         del args[i : i + 2]
+    # per-dispatch trip bound (worker-fault mitigation; pipeline default 1);
+    # --trips 0 = unbounded (everything in one dispatch, the crashing config)
+    trips = 1
+    if "--trips" in args:
+        i = args.index("--trips")
+        trips = int(args[i + 1])
+        del args[i : i + 2]
+    max_trips = trips if trips > 0 else None
     n_frames = int(args[0]) if args else 24
     n_clips = int(args[1]) if len(args) > 1 else 2
     h, w = RELIGHT_HEIGHT, RELIGHT_WIDTH  # 640 x 720 (reference-fixed)
@@ -155,7 +165,10 @@ def main():
         BenchTokenizer(), lambda ids: text_model.apply(text_params, ids),
         dtype=jnp.bfloat16, snippet_batch=sb,
         decode_in_program=not decode_pass,
+        max_trips_per_dispatch=max_trips,
     )
+    print(f"[bench-relight] sb={sb} vb={vb} decode_pass={decode_pass} "
+          f"max_trips_per_dispatch={max_trips}", file=sys.stderr)
     print(f"[bench-relight] setup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     rng = np.random.RandomState(0)

@@ -95,6 +95,15 @@ def test_new_length_compiles_no_heavy_program(compile_log):
 
     run(20)  # cold: compiles everything
 
+    # guard the guard: HEAVY is a list of inner jit names — if one of those
+    # functions gets renamed, the new-length assertion below would go
+    # vacuously green.  The cold run must have compiled every HEAVY name.
+    missing = [h for h in HEAVY if h not in compile_log.compiled]
+    assert missing == [], (
+        f"cold run never compiled {missing} — HEAVY names are stale "
+        f"(observed: {sorted(set(compile_log.compiled))})"
+    )
+
     compile_log.compiled.clear()
     run(20)  # same length again: NOTHING may compile
     assert compile_log.compiled == [], (

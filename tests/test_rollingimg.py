@@ -196,6 +196,35 @@ def test_relight_decode_pass_matches_in_program(tiny_relight):
     np.testing.assert_allclose(out_a.R_pred, out_b.R_pred, atol=1e-4)
 
 
+def test_relight_bounded_dispatch_matches_unbounded(tiny_relight):
+    """max_trips_per_dispatch bounds how many snippet-chunk trips run inside
+    one device dispatch (the host re-dispatches the same program with a start
+    offset over a donated carry) — the v5e worker-fault mitigation (the
+    worker faults when many 20-step SDE chunk trips run in ONE dispatch; see
+    doc/ROADMAP.md).  It must be output-IDENTICAL to the single-dispatch
+    path, for both the fused decode and the standalone decode pass."""
+    fg, bg = _frames(n=11), _frames(n=11, seed=1)  # S=9, sb=2 -> 5 trips
+    old_trips, old_decode = tiny_relight.max_trips_per_dispatch, tiny_relight.decode_in_program
+    try:
+        for decode_in_program in (True, False):
+            tiny_relight.decode_in_program = decode_in_program
+            tiny_relight.max_trips_per_dispatch = None  # everything in one dispatch
+            out_a = tiny_relight.forward(fg, bg, dilations=[1], init_mode="t2i", seed=5)
+            tiny_relight.max_trips_per_dispatch = 1
+            out_b = tiny_relight.forward(fg, bg, dilations=[1], init_mode="t2i", seed=5)
+            np.testing.assert_array_equal(
+                np.asarray(out_a.snippet_ls[0]), np.asarray(out_b.snippet_ls[0]),
+                err_msg=f"decode_in_program={decode_in_program}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_a.R_pred), np.asarray(out_b.R_pred),
+                err_msg=f"decode_in_program={decode_in_program}",
+            )
+    finally:
+        tiny_relight.max_trips_per_dispatch = old_trips
+        tiny_relight.decode_in_program = old_decode
+
+
 def test_relight_strides_validation(tiny_relight):
     import pytest as _pytest
 

@@ -99,3 +99,55 @@ def test_pick_chunk_dp_aware():
     assert pick_chunk(20, 16, dp=4) == 8      # ceil(20/4)=5 -> clamp 8
     assert pick_chunk(64, 16, dp=4) == 16     # s >= max_chunk*dp
     assert pick_chunk(1, 16) == 4
+
+
+class TestPartitionIndexMatrix:
+    """TURBO-refine window scheduling (partition_index_matrix)."""
+
+    @pytest.mark.parametrize("seq_len", [6, 7, 8, 20, 24, 60, 61, 253])
+    @pytest.mark.parametrize("dilation", [1, 2, 3, 6])
+    @pytest.mark.parametrize("phase", [0, 1, 2, 5])
+    def test_full_coverage_any_phase(self, seq_len, dilation, phase):
+        from rollingdepth_tpu.pipelines.snippets import partition_index_matrix
+
+        n = 3
+        if seq_len < n * dilation:  # degenerate-chain territory, below
+            pytest.skip("chain shorter than a window")
+        m = partition_index_matrix(seq_len, n, dilation, phase=phase)
+        assert m.shape[1] == n
+        assert m.min() >= 0 and m.max() < seq_len
+        covered = coverage_count(m, seq_len)
+        assert (covered >= 1).all(), f"uncovered frames: {np.where(covered == 0)[0]}"
+        # windows respect the dilation spacing
+        assert (np.diff(m, axis=1) == dilation).all()
+
+    def test_overlap_is_near_one(self):
+        """The point of the partition: ~1x coverage vs stride-1's ~n x."""
+        from rollingdepth_tpu.pipelines.snippets import partition_index_matrix
+
+        n, seq_len = 3, 60
+        for d in (1, 2, 4, 6):
+            part = partition_index_matrix(seq_len, n, d, phase=1)
+            full = snippet_index_matrix(seq_len, n, d)
+            assert part.shape[0] * 3 <= full.shape[0] * 2, (
+                f"d={d}: partition {part.shape[0]} windows vs stride-1 "
+                f"{full.shape[0]} — not a ~{n}x reduction"
+            )
+            mean_cov = coverage_count(part, seq_len).mean()
+            assert mean_cov < 1.6, f"d={d}: mean coverage {mean_cov}"
+
+    def test_phase_rotation_moves_boundaries(self):
+        from rollingdepth_tpu.pipelines.snippets import partition_index_matrix
+
+        a = partition_index_matrix(30, 3, 1, phase=0)
+        b = partition_index_matrix(30, 3, 1, phase=1)
+        assert set(map(tuple, a)) != set(map(tuple, b))
+
+    def test_degenerate_short_chain_clamps(self):
+        from rollingdepth_tpu.pipelines.snippets import partition_index_matrix
+
+        # seq_len=7, d=3: chains have lengths 3,2,2 — short chains clamp
+        m = partition_index_matrix(7, 3, 3, phase=0)
+        covered = coverage_count(m, 7)
+        assert (covered >= 1).all()
+        assert m.max() < 7 and m.min() >= 0
