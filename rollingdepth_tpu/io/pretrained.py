@@ -122,6 +122,18 @@ def load_rollingdepth_pipeline(
 
     unet, unet_params = load_unet(checkpoint_dir, jdtype)
     unet_params = apply_quantize(unet_params, quantize)
+    # calibrate the max-free attention kernel's score-bound contract on the
+    # REAL weights (a pathological checkpoint auto-falls-back to the safe
+    # online-softmax kernel — ops/score_probe.py); quantized trees carry
+    # int8 leaves the eager probe can't run, they keep the current gate.
+    # TPU-only: the no_max kernel never dispatches elsewhere, and the eager
+    # probe pays per-op latency on remote transports.
+    import jax
+
+    if quantize in (None, "none") and jax.default_backend() == "tpu":
+        from ..ops.score_probe import calibrate_nomax
+
+        calibrate_nomax(unet, unet_params)
     vae, vae_params = load_vae(checkpoint_dir, jdtype)
     sched_cfg = DDIMConfig.from_dict(load_config(checkpoint_dir, "scheduler"))
     scheduler = DDIMScheduler(sched_cfg)

@@ -129,6 +129,16 @@ def load_relight_pipeline(
     from .pretrained import apply_quantize
 
     unet_params = apply_quantize(unet_params, quantize)
+    # no_max attention safety calibration on the MERGED (IC-Light offset)
+    # weights — the offset merge is exactly the kind of checkpoint transform
+    # that could shift attention scales (ops/score_probe.py); TPU-only, as
+    # in load_rollingdepth_pipeline
+    import jax
+
+    if quantize in (None, "none") and jax.default_backend() == "tpu":
+        from ..ops.score_probe import calibrate_nomax
+
+        calibrate_nomax(unet, unet_params)
     vae, vae_params = load_vae(checkpoint_dir, jdtype)
     text_model, text_params = load_text_encoder(checkpoint_dir)
     tokenizer = CLIPTokenizer.from_pretrained(checkpoint_dir)

@@ -21,12 +21,43 @@ import jax
 import jax.numpy as jnp
 
 
+# ---- no_max kernel safety gate -------------------------------------------
+# The max-free flash kernel (_flash_kernel_packed_nomax) requires bounded
+# log2-domain scores (|q.k|*scale*log2e < ~120, else exp2 overflows fp32).
+# GroupNorm-scaled SD checkpoints satisfy this with a ~5x margin, but a
+# checkpoint with pathological attention-projection scales would fail
+# SILENTLY — so loaders calibrate the bound on real weights at load time
+# (ops/score_probe.py) and flip this gate; the dispatch below then routes to
+# the safe online-softmax (running max) kernel instead.  Trace-time constant:
+# backend_tag() folds it in so pipeline program caches retrace on a flip.
+_NOMAX_ALLOWED = True
+NOMAX_SCORE_LIMIT = 96.0  # log2 units; fp32 exp2 overflows at 128
+
+LOG2E = 1.4426950408889634
+
+# When set (a list), eager dot_product_attention calls append their exact
+# log2-domain |score| max — the recording mechanism of the load-time probe
+# (only concrete values record; traced calls are unaffected).
+_SCORE_RECORDER: Optional[list] = None
+
+
+def set_nomax_allowed(ok: bool) -> None:
+    global _NOMAX_ALLOWED
+    _NOMAX_ALLOWED = bool(ok)
+
+
+def nomax_allowed() -> bool:
+    return _NOMAX_ALLOWED
+
+
 def backend_tag() -> str:
     """Current ``ROLLINGDEPTH_ATTN`` override (a trace-time input): pipelines
     mix this into their program cache keys so flipping the env var
     mid-process retraces instead of silently reusing programs compiled with
-    the previous backend."""
-    return os.environ.get("ROLLINGDEPTH_ATTN", "auto").lower()
+    the previous backend.  The no_max safety gate is folded in for the same
+    reason."""
+    env = os.environ.get("ROLLINGDEPTH_ATTN", "auto").lower()
+    return env if _NOMAX_ALLOWED else env + "+safemax"
 
 
 def _xla_attention(
@@ -83,8 +114,19 @@ def dot_product_attention(
     xformers on the reference (run_video.py passes no such flag; diffusers
     exposes enable_xformers_memory_efficient_attention).
     """
+    if _SCORE_RECORDER is not None and not isinstance(q, jax.core.Tracer):
+        # load-time calibration (ops/score_probe.py): eager call with
+        # concrete values — record the exact log2-domain |score| max the
+        # no_max kernel would see, and answer via the reference path
+        d = q.shape[-1]
+        sc = (d**-0.5 if scale is None else scale) * LOG2E
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        _SCORE_RECORDER.append(float(jnp.max(jnp.abs(logits)) * sc))
+        return _xla_attention(q, k, v, scale=scale)
     if use_flash is None:
-        env = backend_tag()
+        env = os.environ.get("ROLLINGDEPTH_ATTN", "auto").lower()
         if env == "xla":
             use_flash = False
         elif env == "flash":
@@ -109,8 +151,12 @@ def dot_product_attention(
         # and scripts/bench_flash_variants.py)
         if q.shape[-1] > 256:
             return flash_attention(q, k, v, scale=scale, block_q=512, block_k=512)
+        # no_max only while the load-time score calibration holds (see
+        # set_nomax_allowed / ops/score_probe.py) — a checkpoint whose probed
+        # score bound exceeds NOMAX_SCORE_LIMIT routes to the max kernel
         return flash_attention(
-            q, k, v, scale=scale, block_q=512, block_k=4096, no_max=True
+            q, k, v, scale=scale, block_q=512, block_k=4096,
+            no_max=_NOMAX_ALLOWED,
         )
     # bound memory for long sequences on the non-flash path
     if q.shape[1] * k.shape[1] > 8_388_608 and q.shape[1] > 4096:

