@@ -96,8 +96,14 @@ class DepthAligner:
         dilations: Sequence[int],
         restore_shift: bool = False,
         channels_last: bool = False,
+        return_st: bool = True,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray], jnp.ndarray]:
         """Returns (merged [N, C, H, W], scales, translations, loss_history).
+
+        ``return_st=False`` skips slicing the per-dilation (s, t) back to
+        their true counts (2 eager slices per dilation = glue compiles per
+        new clip length on remote transports) and returns empty lists —
+        for callers that only consume ``merged``.
 
         ``loss_history`` is [iters, 3]: (loss, per-frame-mean min, max) per
         step, matching the tuples the reference records
@@ -176,6 +182,8 @@ class DepthAligner:
             padded_full, index_mats, s_pads, scales, translations, seq_len,
             t_pad, mn if restore_shift else None, channels_last,
         )
+        if not return_st:
+            return merged, [], [], history
         scales = [s[:st] for s, st in zip(scales, s_true)]
         translations = [t[:st] for t, st in zip(translations, s_true)]
         return merged, scales, translations, history

@@ -369,10 +369,22 @@ class RollingDepthPipeline:
             dev = _upload(input_frames)  # [N, 3, H, W] uint8
         else:
             dev = _upload(input_frames.astype(np.float32, copy=False))
-        if dev.dtype == jnp.uint8:
-            frames_nhwc = jnp.transpose(dev, (0, 2, 3, 1)).astype(self.dtype) / 127.5 - 1.0
-        else:
-            frames_nhwc = jnp.transpose(dev, (0, 2, 3, 1)).astype(self.dtype)
+        # one fused normalize program (not 4 eager transpose/cast/div/sub
+        # dispatches): raw-shaped glue compiles cost ~1.7 s each serialized
+        # on the tunnel, so every chain of eager ops on a clip-length-shaped
+        # array is folded into a single cached program
+        fkey = ("normalize_frames", dev.shape, str(dev.dtype))
+        if fkey not in self._jit_cache:
+            dtype = self.dtype
+            if dev.dtype == jnp.uint8:
+                self._jit_cache[fkey] = jax.jit(
+                    lambda x: jnp.transpose(x, (0, 2, 3, 1)).astype(dtype) / 127.5 - 1.0
+                )
+            else:
+                self._jit_cache[fkey] = jax.jit(
+                    lambda x: jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
+                )
+        frames_nhwc = self._jit_cache[fkey](dev)
         rgb_latent = self._encode_frames(frames_nhwc, max_vae_bs)  # [N, h, w, 4]
         if verbose:
             _sync(rgb_latent)
@@ -411,10 +423,17 @@ class RollingDepthPipeline:
             lat_all = self._infer_snippets(
                 rgb_latent, init_noise_single, idx_all, init_infer_steps[0]
             )
-            ofs = 0
-            for idx in idx_ls:
-                lat_ls.append(lat_all[ofs : ofs + idx.shape[0]])
-                ofs += idx.shape[0]
+            # split per dilation in ONE program (3 eager slices = 3 glue
+            # compiles per new clip length on the tunnel)
+            counts = tuple(idx.shape[0] for idx in idx_ls)
+            skey = ("dilation_split", lat_all.shape, str(lat_all.dtype), counts)
+            if skey not in self._jit_cache:
+                bounds = np.concatenate([[0], np.cumsum(counts)])
+                self._jit_cache[skey] = jax.jit(lambda x: tuple(
+                    jax.lax.slice_in_dim(x, int(a), int(b), axis=0)
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                ))
+            lat_ls.extend(self._jit_cache[skey](lat_all))
         else:
             for idx, infer_steps in zip(idx_ls, init_infer_steps):
                 lat_ls.append(
@@ -459,7 +478,8 @@ class RollingDepthPipeline:
             # latents stay in their native [S, n, h, w, 4] layout — the
             # aligner's channels_last path avoids two full transposes
             merged_lat, scales, translations, loss_history = aligner.run(
-                lat_ls, dilations, restore_shift=True, channels_last=True
+                lat_ls, dilations, restore_shift=True, channels_last=True,
+                return_st=False,  # forward only consumes merged
             )  # [N, h, w, 4]
             if verbose:
                 _sync(merged_lat)
@@ -502,7 +522,8 @@ class RollingDepthPipeline:
             t0 = time.perf_counter()
             aligner = DepthAligner(AlignerConfig(**(coalign_kwargs or {})), verbose=verbose)
             depth_coaligned, scales, translations, loss_history = aligner.run(
-                [jnp.asarray(s) for s in snippet_ls], dilations
+                [jnp.asarray(s) for s in snippet_ls], dilations,
+                return_st=False,  # forward only consumes the coaligned depth
             )
             if verbose:
                 _sync(depth_coaligned)
@@ -534,8 +555,15 @@ class RollingDepthPipeline:
                 # tests/test_e2e_parity.py::test_turbo_refine_close_to_reference.
                 depth_latent = merged_lat.astype(self.dtype)
             else:
-                depth3 = jnp.repeat(depth_coaligned, 3, axis=1)  # N 3 H W
-                depth3 = jnp.transpose(depth3, (0, 2, 3, 1)).astype(self.dtype)
+                # repeat-to-3ch + layout + cast as ONE program (3 glue
+                # compiles per new length otherwise)
+                dkey = ("depth3_prep", depth_coaligned.shape, str(depth_coaligned.dtype))
+                if dkey not in self._jit_cache:
+                    dtype = self.dtype
+                    self._jit_cache[dkey] = jax.jit(lambda x: jnp.transpose(
+                        jnp.repeat(x, 3, axis=1), (0, 2, 3, 1)
+                    ).astype(dtype))
+                depth3 = self._jit_cache[dkey](depth_coaligned)  # N H W 3
                 depth_latent = self._encode_frames(depth3, max_vae_bs)
             depth_latent = self._refine(
                 rgb_latent,
@@ -940,20 +968,31 @@ class RollingDepthPipeline:
             self._jit_cache[key] = step_fn
         step_fn = self._jit_cache[key]
 
-        nkey = ("refine_noise", depth_latent.shape)
+        nkey = ("refine_noise", depth_latent.shape, cap)
         if nkey not in self._jit_cache:
             scheduler = self.scheduler
             dtype = self.dtype
-            # add noise at the first kept timestep (reference :548-552)
-            self._jit_cache[nkey] = jax.jit(
-                lambda d, nz, t: scheduler.add_noise(
-                    d.astype(jnp.float32), nz.astype(jnp.float32), t
-                ).astype(dtype)
-            )
+            n_true = depth_latent.shape[0]
 
-        noise = jnp.broadcast_to(init_noise_single, depth_latent.shape)
-        depth_new = self._jit_cache[nkey](depth_latent, noise, jnp.asarray(timesteps[0]))
-        depth_cap = self._pad_zeros_dev(depth_new, cap)  # [cap, h, w, 4]
+            # add noise at the first kept timestep (reference :548-552);
+            # the shared-noise broadcast AND the capacity pad are folded in
+            # (vs an eager broadcast_to + a separate padzeros program = 2
+            # extra glue compiles per new clip length)
+            @jax.jit
+            def add_noise_pad(d, nz, t):
+                noisy = scheduler.add_noise(
+                    d.astype(jnp.float32),
+                    jnp.broadcast_to(nz.astype(jnp.float32), d.shape),
+                    t,
+                ).astype(dtype)
+                widths = [(0, cap - n_true)] + [(0, 0)] * (noisy.ndim - 1)
+                return jnp.pad(noisy, widths)
+
+            self._jit_cache[nkey] = add_noise_pad
+
+        depth_cap = self._jit_cache[nkey](
+            depth_latent, init_noise_single, jnp.asarray(timesteps[0])
+        )  # [cap, h, w, 4]
 
         for i_step in range(n_steps):
             # dynamic chunk count per step: annealed-gap steps have fewer
