@@ -189,3 +189,35 @@ def tiny_video(tmp_path_factory):
         w.write(frame)
     w.release()
     return path
+
+
+# ---------------------------------------------------------------------------
+# fast/slow split (VERDICT r3 #9; diffusers @slow idiom,
+# /root/reference/diffusers/tests/models/test_modeling_common.py:50-56)
+# ---------------------------------------------------------------------------
+# Default `pytest tests/` runs the FAST suite (<5 min): tiny-model unit and
+# behavior tests.  The heavy torch-oracle fixtures, full-size parity runs,
+# 2000-iter solves and virtual-8-device end-to-end runs are marked `slow`
+# and skip unless RUN_SLOW=1 (the full regression gate):
+#
+#     RUN_SLOW=1 python -m pytest tests/ -q        # everything (~30 min)
+#     python -m pytest tests/ -q -m slow           # only the slow set
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy test (torch-oracle/full-size/e2e); skipped unless "
+        "RUN_SLOW=1 or selected explicitly with -m",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    if config.getoption("-m"):
+        return  # explicit -m selection overrides the gate
+    skip_slow = pytest.mark.skip(reason="slow: set RUN_SLOW=1 (full gate) or use -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_cli_depth_end_to_end(tiny_checkpoint, tiny_video, tmp_path):
     from rollingdepth_tpu.cli import main
 
@@ -68,6 +69,7 @@ def test_cli_tpu_tuned_batch_defaults(monkeypatch):
     assert settings.snippet_batch == 8
 
 
+@pytest.mark.slow
 def test_cli_depth_directory_input(tiny_checkpoint, tiny_video, tmp_path):
     """Directory input exercises the multi-video decode-prefetch path."""
     import shutil

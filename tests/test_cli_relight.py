@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 # tiny_sd15_checkpoint fixture lives in conftest.py (shared with the
 # composed relight parity test)

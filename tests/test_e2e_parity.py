@@ -15,6 +15,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _stub_missing_modules():
     """The reference module imports av (PyAV) and torchvision at top level;

@@ -18,6 +18,7 @@ def test_mesh_construction():
     assert best_mesh_shape(1) == (1, 1)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys
 
@@ -27,6 +28,7 @@ def test_dryrun_multichip_entrypoint():
     g.dryrun_multichip(8)  # asserts internally
 
 
+@pytest.mark.slow
 def test_sharded_training_step_matches_single_device():
     """dp+tp sharded loss must equal the unsharded loss (same math)."""
     from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
@@ -131,6 +133,7 @@ def test_param_sharding_specs():
     assert row and row[0].spec == jax.sharding.PartitionSpec("tp", None)
 
 
+@pytest.mark.slow
 def test_train_state_checkpoint_roundtrip(tmp_path):
     from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
     from rollingdepth_tpu.schedulers.ddim import DDIMConfig, DDIMScheduler

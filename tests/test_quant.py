@@ -5,6 +5,10 @@ pin the quantization math exactly and bound the end-to-end drift of a
 quantized UNet against its own fp32 forward.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -26,6 +26,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tests.test_e2e_parity import _stub_missing_modules
 
 REF_DIR = "/root/reference/rollingdepth"

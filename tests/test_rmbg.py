@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rollingdepth_tpu.io.weights import state_dict_to_pytree
 from rollingdepth_tpu.models.rmbg import BriaRMBG
 

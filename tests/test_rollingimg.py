@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rollingdepth_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
 from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
 from rollingdepth_tpu.models.vae import AutoencoderKL, VAEConfig

@@ -51,6 +51,7 @@ def test_dataset_windows_and_batches(tiny_vae_encode):
     assert np.abs(a0 - a1).max() > 0  # different epoch, different shuffle
 
 
+@pytest.mark.slow
 def test_train_loop_over_dataset(tiny_vae_encode):
     """Two steps of the real train step over real dataset batches."""
     rgb, dep = _clips(frames=8)
