@@ -138,6 +138,17 @@ def main():
         # entry points share one syntax; only w8a8 exists
         if i < len(args) and args[i] == "w8a8":
             del args[i]
+    # --ref-merge: measure the reference's decode-all-snippets merge path
+    # instead of the turbo (latent-merge + partitioned-refine) production
+    # default — parity configuration, slower by design
+    ref_merge = "--ref-merge" in args
+    if ref_merge:
+        args.remove("--ref-merge")
+    # --fp32: run the pipeline in fp32 (the reference's paper-preset dtype,
+    # run_video.py:444-451) instead of bf16
+    fp32 = "--fp32" in args
+    if fp32:
+        args.remove("--fp32")
     sb = vb = 16  # chunk-size experiments: --sb N --vb N
     if "--sb" in args:
         i = args.index("--sb")
@@ -154,13 +165,18 @@ def main():
         # (max_edge, dilations, refine_step, merge_in_latent, cap_dilation)
         "fast": (768, [1, 25], 0, True, True),
         "fast1024": (1024, [1, 25], 0, True, True),
-        "full": (1024, [1, 10, 25], 10, False, True),
+        # full/paper default to the turbo path since round 4 (latent merge +
+        # partitioned refine windows — presets.py); `--ref-merge` restores
+        # the reference decode-all-snippets merge + stride-1 refine
+        "full": (1024, [1, 10, 25], 10, True, True),
         # paper preset: cap_dilation OFF (run_video.py:444-451) — at 60
         # frames the d=25 pass really runs 10 full-span windows, not 22
         # capped ones
-        "paper": (768, [1, 10, 25], 10, False, False),
+        "paper": (768, [1, 10, 25], 10, True, False),
     }
     max_edge, dilations, refine_step, merge_latent, cap_dil = MODES[mode]
+    if ref_merge:
+        merge_latent = False
     h, w = max_edge, (max_edge * 9 // 16) // 8 * 8  # 16:9 at the preset edge
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
@@ -168,23 +184,24 @@ def main():
     t0 = time.perf_counter()
     unet = UNet2DCondition(UNetConfig.sd21(in_channels=8))
     vae = AutoencoderKL(VAEConfig())
+    dtype = jnp.float32 if fp32 else jnp.bfloat16
     unet_params = device_random_params(
-        lambda: unet.init(jax.random.PRNGKey(0)), jax.random.PRNGKey(0), jnp.bfloat16
+        lambda: unet.init(jax.random.PRNGKey(0)), jax.random.PRNGKey(0), dtype
     )
     if quantize:
         from rollingdepth_tpu.ops.quant import quantize_unet_params
 
         unet_params = jax.jit(quantize_unet_params)(unet_params)
     vae_params = device_random_params(
-        lambda: vae.init(jax.random.PRNGKey(1)), jax.random.PRNGKey(1), jnp.bfloat16
+        lambda: vae.init(jax.random.PRNGKey(1)), jax.random.PRNGKey(1), dtype
     )
     scheduler = DDIMScheduler(
         DDIMConfig(beta_schedule="scaled_linear", timestep_spacing="trailing")
     )
-    text = jnp.zeros((1, 2, 1024), jnp.bfloat16)
+    text = jnp.zeros((1, 2, 1024), dtype)
     pipe = RollingDepthPipeline(
         unet, unet_params, vae, vae_params, scheduler, text,
-        dtype=jnp.bfloat16, snippet_batch=sb, vae_batch=vb,
+        dtype=dtype, snippet_batch=sb, vae_batch=vb,
     )
     print(f"[bench] setup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
@@ -308,7 +325,8 @@ def main():
     )
     metric = "depth_fps_768p_fast_1chip" if mode == "fast" else f"depth_fps_{mode}_1chip"
     result = {
-        "metric": metric + ("_w8a8" if quantize else ""),
+        "metric": metric + ("_w8a8" if quantize else "")
+        + ("_fp32" if fp32 else "") + ("_refmerge" if ref_merge else ""),
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / est_3090_fps, 3),
