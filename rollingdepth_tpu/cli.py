@@ -11,6 +11,7 @@ Two modes share the preset system (run_video.py:413-468):
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
 from pathlib import Path
@@ -97,6 +98,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "flash/xla — the fallback analogue of toggling xformers.")
     # relight-mode prompts (defaults = the reference's hardcoded set,
     # rollingimg_pipeline.py:1148-1150)
+    # accuracy evaluation over the bundled data_split manifests (eval.py);
+    # the reference ships the manifests but no harness (SURVEY.md C14)
+    parser.add_argument("--eval", type=str, default=None, dest="eval_dataset",
+                        help="run AbsRel/delta1 evaluation instead of video inference: "
+                             "a dataset name (scannet|bonn_rgbd|pointodyssey|dydtof) "
+                             "using the bundled data_split manifests, or a path to a "
+                             "split dir of rgb,depth CSV manifests")
+    parser.add_argument("--eval-data-root", type=str, default=None,
+                        help="directory the manifests' relative frame paths resolve under")
+    parser.add_argument("--eval-max-sequences", type=int, default=None,
+                        help="evaluate only the first N manifests (deterministic order)")
     parser.add_argument("--prompt", type=str, default=None)
     parser.add_argument("--a-prompt", type=str, default=None, dest="a_prompt")
     parser.add_argument("--n-prompt", type=str, default=None, dest="n_prompt")
@@ -274,6 +286,59 @@ def save_depth_outputs(pipe_out, video_path: Path, output_dir: Path, args) -> No
                                    preset="medium", verbose=args.verbose)
 
 
+def run_eval(args, settings) -> None:
+    """AbsRel/δ1 over a data_split manifest set, one command away from the
+    driver-target number (BASELINE.json:5) once checkpoints/frames exist.
+
+    Writes ``<output_dir>/eval_<dataset>.csv`` with one affine-aligned
+    metric row per sequence plus a MEAN row, and prints the means."""
+    from .eval import DEFAULT_SPLIT_DIR, evaluate_dataset
+    from .io.pretrained import load_rollingdepth_pipeline
+
+    if os.path.isdir(args.eval_dataset):
+        split_dir = args.eval_dataset
+        dataset = Path(args.eval_dataset).name
+    else:
+        split_dir = os.path.join(DEFAULT_SPLIT_DIR, args.eval_dataset)
+        dataset = args.eval_dataset
+    if not args.eval_data_root:
+        raise SystemExit("--eval requires --eval-data-root <frames dir>")
+
+    logging.info("Loading checkpoint from %s", args.checkpoint)
+    pipe = load_rollingdepth_pipeline(
+        args.checkpoint, dtype=settings.dtype, snippet_batch=settings.snippet_batch,
+        quantize=args.quantize,
+    )
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    csv_path = str(output_dir / f"eval_{dataset}.csv")
+    means = evaluate_dataset(
+        pipe,
+        split_dir=split_dir,
+        data_root=args.eval_data_root,
+        dataset=dataset,
+        processing_res=settings.res,
+        max_sequences=args.eval_max_sequences,
+        csv_path=csv_path,
+        dilations=list(settings.dilations),
+        cap_dilation=settings.cap_dilation,
+        snippet_lengths=list(settings.snippet_lengths),
+        init_infer_steps=list(settings.init_infer_steps),
+        strides=list(settings.strides),
+        refine_step=settings.refine_step,
+        refine_snippet_len=settings.refine_snippet_len,
+        refine_start_dilation=settings.refine_start_dilation,
+        seed=settings.seed,
+        verbose=settings.verbose,
+        max_vae_bs=settings.max_vae_bs,
+        merge_in_latent=settings.merge_in_latent,
+        refine_in_latent=settings.refine_in_latent,
+        turbo_refine=settings.turbo_refine,
+    )
+    logging.info("eval %s means: %s (per-sequence rows in %s)", dataset, means, csv_path)
+    print(json.dumps({"dataset": dataset, **means}))
+
+
 def run_relight(args, settings) -> None:
     from .io.pretrained_relight import load_relight_pipeline
 
@@ -347,13 +412,16 @@ def main(argv=None) -> None:
         # (covers the UNet and the VAE mid-block); must be set before the
         # first trace
         os.environ["ROLLINGDEPTH_ATTN"] = args.attn_backend
-    if args.input_fg_video and args.input_bg_video:
+    if args.eval_dataset:
+        run_eval(args, settings)
+    elif args.input_fg_video and args.input_bg_video:
         run_relight(args, settings)
     elif args.input_video:
         run_depth(args, settings)
     else:
         raise SystemExit(
-            "Provide -i for depth estimation or -fi/-bi for relighting."
+            "Provide -i for depth estimation, -fi/-bi for relighting, "
+            "or --eval for accuracy evaluation."
         )
 
 

@@ -184,6 +184,24 @@ def evaluate_sequence(
     return {k: float(np.mean([m[k] for m in per_frame])) for k in per_frame[0]}
 
 
+METRIC_COLUMNS = ("abs_rel", "delta1", "delta2", "delta3", "rmse")
+
+
+def write_eval_csv(path: str, rows: List[Tuple[str, Dict[str, float]]]) -> None:
+    """Per-sequence metric rows + a final mean row, in the vendored
+    diffusers benchmark CSV idiom (one header, plain floats)."""
+    with open(path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(("sequence",) + METRIC_COLUMNS)
+        for name, m in rows:
+            writer.writerow([name] + [f"{m[k]:.6f}" for k in METRIC_COLUMNS])
+        if rows:
+            writer.writerow(
+                ["MEAN"]
+                + [f"{np.mean([m[k] for _, m in rows]):.6f}" for k in METRIC_COLUMNS]
+            )
+
+
 def evaluate_dataset(
     pipeline,
     split_dir: Optional[str],
@@ -191,9 +209,13 @@ def evaluate_dataset(
     dataset: str,
     processing_res: int = 768,
     max_sequences: Optional[int] = None,
+    csv_path: Optional[str] = None,
     **pipe_kwargs,
 ) -> Dict[str, float]:
-    """Run the pipeline over every manifest in a split and average metrics."""
+    """Run the pipeline over every manifest in a split and average metrics.
+
+    ``csv_path`` additionally writes one row per sequence plus a MEAN row
+    (the driver-target AbsRel number, BASELINE.json:5, as one command)."""
     if split_dir is None:
         split_dir = os.path.join(DEFAULT_SPLIT_DIR, dataset)
     scale = DATASET_DEPTH_SCALE.get(dataset, 1000.0)
@@ -202,16 +224,18 @@ def evaluate_dataset(
         raise FileNotFoundError(f"no .csv manifests found under {split_dir}")
     if max_sequences is not None:
         manifests = manifests[:max_sequences]
-    results = []
+    results: List[Tuple[str, Dict[str, float]]] = []
     for m in manifests:
         sample = load_manifest(m, data_root)
         frames = load_frames_from_manifest(sample, processing_res)
         out = pipeline.forward(frames, **pipe_kwargs)
         # model predicts affine-invariant inverse-ish depth in [-1,1]; shift
         # to positive before alignment
-        pred = out.depth_pred.squeeze(1) / 2.0 + 0.5
+        pred = np.asarray(out.depth_pred).squeeze(1) / 2.0 + 0.5
         gt = load_gt_depths(sample, scale)
         metrics = evaluate_sequence(pred, gt)
         logger.info("%s: %s", sample.name, metrics)
-        results.append(metrics)
-    return {k: float(np.mean([r[k] for r in results])) for k in results[0]}
+        results.append((sample.name, metrics))
+        if csv_path is not None:
+            write_eval_csv(csv_path, results)  # incremental: long splits survive interrupts
+    return {k: float(np.mean([m[k] for _, m in results])) for k in results[0][1]}

@@ -101,3 +101,61 @@ def test_load_pipeline_dispatch(tiny_checkpoint):
 
     pipe = load_pipeline(tiny_checkpoint, dtype="fp32")
     assert isinstance(pipe, RollingDepthPipeline)
+
+
+@pytest.mark.slow
+def test_cli_eval_end_to_end(tiny_checkpoint, tmp_path, capsys):
+    """--eval over a synthetic split: CSV manifests + PNG frames + uint16 GT
+    -> per-sequence AbsRel/delta1 CSV with a MEAN row (VERDICT r3 #8).  The
+    moment real checkpoints/frames exist, the driver-target AbsRel number is
+    this one command with real paths."""
+    import cv2
+
+    from rollingdepth_tpu.cli import main
+
+    split = tmp_path / "split"
+    data_root = tmp_path / "frames"
+    split.mkdir()
+    rng = np.random.RandomState(0)
+    for seq in ("seq_a", "seq_b"):
+        seq_dir = data_root / seq
+        (seq_dir / "color").mkdir(parents=True)
+        (seq_dir / "depth").mkdir()
+        rows = []
+        base = (rng.rand(32, 48, 3) * 255).astype(np.uint8)
+        for i in range(6):
+            cv2.imwrite(str(seq_dir / "color" / f"{i}.png"), np.roll(base, i, axis=1))
+            # smooth metric GT in ~[1m, 3m], stored as mm uint16
+            yy = np.linspace(1.0, 3.0, 32)[:, None] * np.ones((1, 48))
+            gt_mm = (yy * 1000 + i * 10).astype(np.uint16)
+            cv2.imwrite(str(seq_dir / "depth" / f"{i}.png"), gt_mm)
+            rows.append(f"color/{i}.png,depth/{i}.png")
+        with open(split / f"{seq}.csv", "w") as f:
+            f.write("rgb,depth\n" + "\n".join(rows) + "\n")
+
+    out_dir = tmp_path / "out"
+    main([
+        "--eval", str(split), "--eval-data-root", str(data_root),
+        "-o", str(out_dir), "-p", "none", "-c", tiny_checkpoint,
+        "--res", "32", "--dilations", "1", "2", "--refine-step", "0",
+        "--dtype", "fp32", "--seed", "0",
+    ])
+
+    csv_path = out_dir / "eval_split.csv"
+    assert csv_path.exists()
+    import csv as _csv
+
+    with open(csv_path) as f:
+        rows = list(_csv.reader(f))
+    assert rows[0] == ["sequence", "abs_rel", "delta1", "delta2", "delta3", "rmse"]
+    names = [r[0] for r in rows[1:]]
+    assert names == ["seq_a", "seq_b", "MEAN"]
+    for r in rows[1:]:
+        vals = [float(v) for v in r[1:]]
+        assert all(np.isfinite(vals))
+        assert 0.0 <= vals[1] <= 1.0  # delta1 is a fraction
+
+    # the summary JSON line is printed for scripting
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["dataset"] == "split"
+    assert np.isfinite(summary["abs_rel"])
