@@ -50,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max-vae-bs", type=int, default=None,
                         help="VAE encode/decode batch (default: 4, or 16 on TPU).")
     parser.add_argument("--fps", "--output-fps", type=int, default=0, dest="output_fps")
-    parser.add_argument("--restore-res", type=str2bool, default=False, dest="restore_res")
+    parser.add_argument("--restore-res", "--restore-resolution", type=str2bool,
+                        default=False, dest="restore_res")
     parser.add_argument("--save-sbs", "--save-side-by-side", type=str2bool, default=True, dest="save_sbs")
     parser.add_argument("--save-npy", type=str2bool, default=True)
     parser.add_argument("--save-snippets", type=str2bool, default=False)
@@ -58,9 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                         default=["Spectral_r", "Greys_r"], dest="color_maps")
     parser.add_argument("-d", "--dilations", type=int, nargs="+", default=None, dest="dilations")
     parser.add_argument("--cap-dilation", type=str2bool, default=None, dest="cap_dilation")
-    parser.add_argument("--dtype", "--precision", type=str, default=None,
+    parser.add_argument("--dtype", "--data-type", "--precision", type=str, default=None,
                         choices=["fp16", "fp32", "bf16", None], dest="dtype")
-    parser.add_argument("--snippet-lengths", type=int, nargs="+", default=None, dest="snippet_lengths")
+    parser.add_argument("--snip-len", "--snippet-lengths", type=int, nargs="+",
+                        default=None, dest="snippet_lengths")
     parser.add_argument("--refine-step", type=int, default=None, dest="refine_step")
     parser.add_argument("--refine-snippet-len", type=int, default=None)
     parser.add_argument("--refine-start-dilation", type=int, default=None)

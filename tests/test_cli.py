@@ -42,6 +42,31 @@ def test_cli_preset_merge():
     assert settings.refine_step == 0
 
 
+def test_cli_reference_alias_spellings():
+    """Every long-flag spelling of the reference CLI must parse here too
+    (run_video.py:85-408) so invocations are drop-in portable."""
+    from rollingdepth_tpu.cli import resolve_args
+
+    args, settings = resolve_args([
+        "-i", "x.mp4", "-o", "out",
+        "--data-type", "fp32",
+        "--snip-len", "3",
+        "--restore-resolution", "true",
+        "--processing-resolution", "512",
+        "--output-fps", "24",
+        "--save-side-by-side", "false",
+        "--color-maps", "Spectral_r",
+        "--from", "5", "--frames", "10",
+    ])
+    assert settings.dtype == "fp32"
+    assert settings.snippet_lengths == [3]
+    assert args.restore_res is True
+    assert settings.res == 512
+    assert args.output_fps == 24
+    assert args.save_sbs is False
+    assert args.start_frame == 5 and args.frame_count == 10
+
+
 def test_cli_tpu_tuned_batch_defaults(monkeypatch):
     """On a TPU backend, unset --max-vae-bs/--snippet-batch bump to 16/16
     (BASELINE.md: v5e decode runs 27 TF/s at bs4 vs 78+ at bs16); explicit
