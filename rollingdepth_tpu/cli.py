@@ -379,6 +379,10 @@ def run_relight(args, settings) -> None:
                 init_mode=args.init_mode,
                 verbose=settings.verbose,
                 max_vae_bs=settings.max_vae_bs,
+                # the relight CLI only writes the combined R/G/B video; at
+                # the 253-frame production length the decoded snippet buffer
+                # is ~3.7 GB of HBM per clip — drop it inside the pipeline
+                keep_snippets=False,
                 **frame_kwargs,
                 **prompt_kwargs,
             )

@@ -193,6 +193,10 @@ def main():
     kwargs = dict(
         dilations=dilations, cap_dilation=True, seed=12345,
         max_vae_bs=vb, fetch_output=False,
+        # only R/G/B_pred are checked; keeping the decoded snippet buffer
+        # (~3.7 GB at 253 frames) alive in each clip's output while the next
+        # clip computes would exhaust HBM at production lengths
+        keep_snippets=False,
     )
 
     def run(dev_clip, verbose=False):
@@ -211,7 +215,10 @@ def main():
         f"[bench-relight] warmup {time.perf_counter()-t0:.1f}s; "
         f"phases {pipe.last_timings}", file=sys.stderr,
     )
-    # steady verbose (phase split)
+    # steady verbose (phase split); free the warmup output FIRST — holding a
+    # previous clip's R/G/B + aligned buffers during the next forward costs
+    # ~2.8 GB of HBM at the 253-frame production length
+    out = None
     t0 = time.perf_counter()
     out = run(upload(clips[1 % len(clips)]), verbose=True)
     fetch_and_check(out)
@@ -221,6 +228,7 @@ def main():
     )
 
     # timed steady state (double-buffered sync, fetch outside the window)
+    out = None  # free the verbose run's output before the timed window
     pool = concurrent.futures.ThreadPoolExecutor(2)
     t0 = time.perf_counter()
     up_next = pool.submit(upload, clips[0])
