@@ -136,7 +136,13 @@ def dot_product_attention(
             jax.default_backend() == "tpu"
             and q.shape[1] >= 256
             and k.shape[1] >= 256
-            and q.shape[-1] <= 512
+            # head-dim window: the kernel tiles [block, d] onto the MXU, so
+            # d << 128 lanes runs at d/128 efficiency — at the degenerate
+            # head dims of tiny test checkpoints (d=2..16) the XLA path is
+            # strictly faster AND a d=2/L=345k Pallas launch faulted the v5e
+            # worker (2026-08-19 relight-CLI verify); the kernel is
+            # validated at d=40..160 (+ the d<=512 wide-head VAE tiling)
+            and 32 <= q.shape[-1] <= 512
         )
     if use_flash:
         from .flash_attention import flash_attention

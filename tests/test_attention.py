@@ -254,3 +254,41 @@ def test_nomax_score_calibration_routes_to_safe_kernel(monkeypatch):
         assert seen["no_max"] is False  # demonstrably on the safe kernel
     finally:
         attn_mod.set_nomax_allowed(True)  # process-global: never leak
+
+
+def test_auto_select_gates_on_head_dim(monkeypatch):
+    """Degenerate head dims must NOT auto-route to the Pallas kernel: the
+    kernel is validated at d=40..160 (+ the wide-head VAE tiling), tiles
+    [block, d] onto 128 MXU lanes (d=2 runs at 2/128 efficiency), and a
+    d=2 / L=345k launch faulted the v5e worker (2026-08-19 relight-CLI
+    verify).  d>=32 still auto-selects flash; explicit ROLLINGDEPTH_ATTN
+    =flash remains an override."""
+    import rollingdepth_tpu.ops.attention as attn_mod
+    import rollingdepth_tpu.ops.flash_attention as flash_mod
+
+    calls = {"flash": 0}
+
+    def fake_flash(q, k, v, scale=None, block_q=None, block_k=None,
+                   no_max=False, interpret=False):
+        calls["flash"] += 1
+        return attn_mod._xla_attention(q, k, v, scale)
+
+    monkeypatch.setattr(flash_mod, "flash_attention", fake_flash)
+    monkeypatch.setattr(attn_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("ROLLINGDEPTH_ATTN", raising=False)
+
+    def mk(d):
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+        return (jax.random.normal(kq, (1, 512, 2, d), jnp.float32),
+                jax.random.normal(kk, (1, 512, 2, d), jnp.float32),
+                jax.random.normal(kv, (1, 512, 2, d), jnp.float32))
+
+    attn_mod.dot_product_attention(*mk(2))
+    assert calls["flash"] == 0, "d=2 must take the XLA path under auto"
+    attn_mod.dot_product_attention(*mk(16))
+    assert calls["flash"] == 0, "d=16 must take the XLA path under auto"
+    attn_mod.dot_product_attention(*mk(40))
+    assert calls["flash"] == 1, "d=40 (production SD1.5) must auto-flash"
+    monkeypatch.setenv("ROLLINGDEPTH_ATTN", "flash")
+    attn_mod.dot_product_attention(*mk(2))
+    assert calls["flash"] == 2, "explicit =flash overrides the gate"
