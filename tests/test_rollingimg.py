@@ -102,6 +102,24 @@ def test_relight_deterministic(tiny_relight):
     np.testing.assert_array_equal(a.R_pred, b.R_pred)
 
 
+def test_relight_keep_snippets_false_drops_buffers(tiny_relight):
+    """keep_snippets=False must drop the decoded snippet buffers (at the
+    253-frame production length they are ~3.7 GB of HBM per clip) without
+    changing the R/G/B predictions — the relight CLI/serving contract."""
+    fg, bg = _frames(), _frames(seed=1)
+    out_a = tiny_relight.forward(fg, bg, dilations=[1],
+                                 init_mode="shared_noise", seed=5)
+    out_b = tiny_relight.forward(fg, bg, dilations=[1],
+                                 init_mode="shared_noise", seed=5,
+                                 keep_snippets=False)
+    assert out_a.snippet_ls is not None
+    assert out_b.snippet_ls is None
+    np.testing.assert_array_equal(np.asarray(out_a.R_pred),
+                                  np.asarray(out_b.R_pred))
+    np.testing.assert_array_equal(np.asarray(out_a.B_pred),
+                                  np.asarray(out_b.B_pred))
+
+
 def test_relight_independent_of_snippet_batch(tiny_relight):
     """SDE step noise is keyed by global frame/snippet ids, so results must
     not change with the snippet_batch chunking (seed-12345 reproducibility
