@@ -103,21 +103,28 @@ def test_relight_deterministic(tiny_relight):
 
 
 def test_relight_keep_snippets_false_drops_buffers(tiny_relight):
-    """keep_snippets=False must drop the decoded snippet buffers (at the
-    253-frame production length they are ~3.7 GB of HBM per clip) without
-    changing the R/G/B predictions — the relight CLI/serving contract."""
-    fg, bg = _frames(), _frames(seed=1)
-    out_a = tiny_relight.forward(fg, bg, dilations=[1],
-                                 init_mode="shared_noise", seed=5)
-    out_b = tiny_relight.forward(fg, bg, dilations=[1],
-                                 init_mode="shared_noise", seed=5,
-                                 keep_snippets=False)
+    """keep_snippets=False must return only R/G/B_pred (no decoded snippet
+    copies, no aligned concat — together ~5 GB of HBM at the 253-frame
+    production length) without changing the predictions: on the device-side
+    serving path the co-alignment slices channels straight out of the
+    combined decode buffer instead of per-dilation snippet copies."""
+    fg, bg = _frames(n=8), _frames(n=8, seed=1)
+    kw = dict(dilations=[1, 2], init_mode="shared_noise", seed=5)
+    out_a = tiny_relight.forward(fg, bg, fetch_output=False, **kw)
+    out_b = tiny_relight.forward(fg, bg, fetch_output=False,
+                                 keep_snippets=False, **kw)
     assert out_a.snippet_ls is not None
+    assert out_a.aligned_snippet_pred_ls is not None
     assert out_b.snippet_ls is None
+    assert out_b.aligned_snippet_pred_ls is None
     np.testing.assert_array_equal(np.asarray(out_a.R_pred),
                                   np.asarray(out_b.R_pred))
     np.testing.assert_array_equal(np.asarray(out_a.B_pred),
                                   np.asarray(out_b.B_pred))
+    # the host-fetch path (the CLI's __call__) must agree too
+    out_c = tiny_relight.forward(fg, bg, keep_snippets=False, **kw)
+    np.testing.assert_allclose(np.asarray(out_b.R_pred), out_c.R_pred,
+                               rtol=0, atol=1e-6)
 
 
 def test_relight_independent_of_snippet_batch(tiny_relight):
