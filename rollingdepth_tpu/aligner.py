@@ -54,6 +54,12 @@ class AlignerConfig:
 _SOLVE_CACHE: Dict[Any, Any] = {}
 _MERGE_CACHE: Dict[Any, Any] = {}
 
+# full-resolution merge streaming granularity (window rows per fori_loop
+# trip): at the relight production size one 64-row fp32 chunk is ~350 MB vs
+# ~2.8 GB for a full-group copy; must divide S_BUCKET so every padded group
+# splits evenly
+_MERGE_CHUNK = 64
+
 
 # Shape buckets: solver inputs are padded (zero rows + zero one-hot rows +
 # masks) so the jitted solve/merge programs are keyed by BUCKETS, not the
@@ -147,7 +153,13 @@ class DepthAligner:
         ]
 
         # ---- jitted prep: global min shift (:78-79), border crop +
-        # spatial subsample (:82-92; b:-b:f == crop-then-stride), row pad
+        # spatial subsample (:82-92; b:-b:f == crop-then-stride), row pad.
+        # HBM discipline (the 253-frame relight OOM, doc/ROADMAP.md): only
+        # the ::factor-subsampled solver views are cast to fp32 and shifted;
+        # the full-resolution groups are row-padded in their SOURCE dtype and
+        # the min-shift is folded into the merge's per-window (s, t) instead
+        # — at production sizes the old full-res fp32 shifted copy was
+        # ~2x the input on top of the input itself.
         b, f = cfg.border, cfg.factor
         pkey = ("prep", tuple((s.shape, str(s.dtype)) for s in snippet_ls),
                 tuple(s_pads), b, f, channels_last)
@@ -156,21 +168,22 @@ class DepthAligner:
 
             @jax.jit
             def prep(groups):
-                groups = [g.astype(jnp.float32) for g in groups]
-                mn = jnp.min(jnp.stack([g.min() for g in groups]))
-                shifted, views = [], []
+                mn = jnp.min(
+                    jnp.stack([g.min() for g in groups])
+                ).astype(jnp.float32)
+                padded, views = [], []
                 for g, sp in zip(groups, pads):
-                    g = g - mn
                     if channels_last:
                         v = g[:, :, b:-b:f, b:-b:f, :]
                     else:
                         v = g[:, :, :, b:-b:f, b:-b:f]
+                    v = v.astype(jnp.float32) - mn
                     widths = [(0, sp - g.shape[0])] + [(0, 0)] * (g.ndim - 1)
-                    shifted.append(jnp.pad(g, widths))
+                    padded.append(jnp.pad(g, widths))
                     views.append(
                         jnp.pad(v, widths).reshape(sp, g.shape[1], -1)
                     )
-                return mn, tuple(shifted), tuple(views)
+                return mn, tuple(padded), tuple(views)
 
             _SOLVE_CACHE[pkey] = prep
         mn, padded_full, solver_views = _SOLVE_CACHE[pkey](tuple(snippet_ls))
@@ -180,7 +193,7 @@ class DepthAligner:
         )
         merged = self._merge(
             padded_full, index_mats, s_pads, scales, translations, seq_len,
-            t_pad, mn if restore_shift else None, channels_last,
+            t_pad, mn, restore_shift, channels_last,
         )
         if not return_st:
             return merged, [], [], history
@@ -324,15 +337,27 @@ class DepthAligner:
 
     # ------------------------------------------------------------------
     def _merge(self, snippet_ls, index_mats, s_pads, scales, translations,
-               seq_len: int, t_pad: int, mn=None, channels_last: bool = False) -> jnp.ndarray:
+               seq_len: int, t_pad: int, mn, restore_shift: bool,
+               channels_last: bool = False) -> jnp.ndarray:
         """Apply (s, t) at full res; average covering windows per frame
         (depth_aligner.py:231-262) — as a one-hot matmul (MXU stream).
 
         Inputs are bucket-padded ([S_pad] rows, [t_pad] frames): padded
         windows have zero one-hot columns, padded frames zero counts
-        (clamped); the caller slices the [t_pad] output to seq_len.  ``mn``
-        (if given) is the solver's min-shift added back inside the program
-        (restore_shift)."""
+        (clamped); the caller slices the [t_pad] output to seq_len.
+
+        The groups arrive UNSHIFTED in their source dtype (prep); the
+        solver's (s, t) live in min-shifted space, so the merge applies
+        ``s*(x - mn) + t == s*x + (t - s*mn)`` by folding ``mn`` into the
+        per-window shift.  ``restore_shift`` adds ``mn`` back onto the
+        averaged output.
+
+        HBM discipline: windows stream through a ``fori_loop`` in
+        ``_MERGE_CHUNK``-row chunks — each trip casts ONE chunk to fp32,
+        applies (s, t) and accumulates via its one-hot column block, so the
+        transient is one chunk + the [t_pad, chw] accumulator instead of a
+        second full-resolution fp32 copy of every group (the 253-frame
+        relight coalign OOM, doc/ROADMAP.md)."""
         frame_shape = snippet_ls[0].shape[-3:]  # (C,H,W) or (H,W,C)
         chw = int(np.prod(frame_shape))
         onehots = []
@@ -346,18 +371,40 @@ class DepthAligner:
             counts[:seq_len] += np.bincount(idx_np.reshape(-1), minlength=seq_len)
         counts_j = jnp.asarray(counts)
 
-        key = ("merge", tuple(s.shape for s in snippet_ls), t_pad, mn is not None)
+        key = ("merge", tuple((s.shape, str(s.dtype)) for s in snippet_ls),
+               t_pad, restore_shift)
         if key not in _MERGE_CACHE:
 
             @jax.jit
-            def merge(snippets, oh_t, counts, s_list, t_list, mn_arr):
+            def merge(snippets, oh_t, counts, s_list, t_list, mn):
                 acc = jnp.zeros((t_pad, chw), jnp.float32)
                 for v, oh, s, t in zip(snippets, oh_t, s_list, t_list):
-                    a = v * s[:, None, None, None, None] + t[:, None, None, None, None]
-                    acc = acc + oh @ a.reshape(-1, chw)
+                    sp, w = v.shape[0], v.shape[1]
+                    vflat = v.reshape(sp, w * chw)
+                    t_eff = t - mn * s  # fold the prep min-shift into t
+                    chunk = min(_MERGE_CHUNK, sp)
+                    n_chunks = sp // chunk  # sp is a multiple of S_BUCKET
+
+                    def body(i, acc, vflat=vflat, oh=oh, s=s, t_eff=t_eff,
+                             w=w, chunk=chunk):
+                        r0 = i * chunk
+                        vc = jax.lax.dynamic_slice_in_dim(
+                            vflat, r0, chunk, 0
+                        ).astype(jnp.float32)
+                        sc = jax.lax.dynamic_slice_in_dim(s, r0, chunk, 0)
+                        tc = jax.lax.dynamic_slice_in_dim(t_eff, r0, chunk, 0)
+                        ohc = jax.lax.dynamic_slice_in_dim(
+                            oh, r0 * w, chunk * w, 1
+                        )
+                        a = (vc * sc[:, None] + tc[:, None]).reshape(
+                            chunk * w, chw
+                        )
+                        return acc + ohc @ a
+
+                    acc = jax.lax.fori_loop(0, n_chunks, body, acc)
                 out = acc / jnp.maximum(counts, 1.0)[:, None]
-                if mn_arr is not None:
-                    out = out + mn_arr
+                if restore_shift:
+                    out = out + mn
                 return out.reshape((t_pad,) + frame_shape)
 
             _MERGE_CACHE[key] = merge
