@@ -74,6 +74,51 @@ def test_aligner_matches_torch_reference(iters):
     np.testing.assert_allclose(ours_m.reshape(ref_m.shape), ref_m, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize("iters", [20])
+def test_aligner_matches_torch_reference_multichunk(iters):
+    """Clip long enough that the padded window rows exceed one merge chunk
+    (S=78/72 -> s_pad=128 = 2 fori_loop trips of _MERGE_CHUNK=64): exercises
+    the chunk-streamed full-res merge the production relight sizes run
+    (aligner.py _merge), which the 20-frame tests above never reach."""
+    import torch
+
+    from rollingdepth_tpu.aligner import _MERGE_CHUNK
+
+    RefAligner = load_reference_aligner()
+    snippets = make_snippets(seq_len=80, h=18, w=18, seed=1)
+    dilations = [1, 4]
+    assert snippets[0].shape[0] > _MERGE_CHUNK  # multi-trip by construction
+
+    ref = RefAligner(device=torch.device("cpu"), num_iterations=iters, factor=4)
+    with contextlib.redirect_stdout(io.StringIO()):
+        merged_ref, _, _, _ = ref.run(
+            [torch.from_numpy(s) for s in snippets], dilations
+        )
+
+    ours = DepthAligner(AlignerConfig(num_iterations=iters, factor=4))
+    merged, _, _, _ = ours.run([jnp.asarray(s) for s in snippets], dilations)
+    ref_m = merged_ref.detach().numpy()
+    np.testing.assert_allclose(
+        np.asarray(merged).reshape(ref_m.shape), ref_m, rtol=5e-4, atol=5e-4
+    )
+
+
+def test_aligner_bf16_groups_match_fp32():
+    """The relight serving path feeds bf16 channel slices; prep keeps the
+    source dtype and the merge casts per chunk, so a bf16-source run must
+    equal an fp32 run over the SAME (bf16-rounded) values exactly."""
+    snippets = [s.astype(np.float32) for s in make_snippets(seed=2)]
+    bf16 = [jnp.asarray(s).astype(jnp.bfloat16) for s in snippets]
+    as_f32 = [np.asarray(b, np.float32) for b in bf16]
+
+    ours = DepthAligner(AlignerConfig(num_iterations=15, factor=4))
+    merged_bf, _, _, _ = ours.run(bf16, [1, 4])
+    merged_f32, _, _, _ = ours.run([jnp.asarray(s) for s in as_f32], [1, 4])
+    np.testing.assert_allclose(
+        np.asarray(merged_bf), np.asarray(merged_f32), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_aligner_multichannel():
     """C>1 snippets align per-pixel across channels (subsumes my_aligner.py,
     used by the relight pipeline's per-RGB-channel runs)."""
