@@ -78,12 +78,18 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "res": 1024, "dilations": [1, 10, 25], "refine_step": 10,
         "merge_in_latent": True,
     },
+    # paper = the reference-parity preset (fp32, cap_dilation off,
+    # run_video.py:444-451): it stays on the EXACT reference merge path
+    # (decode all snippets, align in depth space, stride-1 refine windows) —
+    # turbo's corr>0.99 drift bound is fine as a default for the speed
+    # presets but wrong for the preset whose purpose is parity (VERDICT r4
+    # weakness #3).  Opt into turbo explicitly with --merge-in-latent true.
     "paper": {
         "dilations": [1, 10, 25],
         "cap_dilation": False,
         "dtype": "fp32",
         "refine_step": 10,
-        "merge_in_latent": True,
+        "merge_in_latent": False,
     },
     "none": {},
 }

@@ -1,6 +1,22 @@
 """Test harness config: run everything on a virtual 8-device CPU mesh.
 
 Must set platform flags before jax initializes (first import wins).
+
+Expected skip accounting (so future rounds can tell expected skips from
+rot — VERDICT r4 #9).  The fast suite (`-m "not slow"`) skips exactly:
+
+- 24x tests/test_snippets.py::TestPartitionIndexMatrix::
+  test_full_coverage_any_phase — parametrized over
+  (seq_len, dilation, phase); combinations where a dilation chain is
+  shorter than one window (seq_len < n*dilation) are degenerate by
+  construction and skip with reason "chain shorter than a window".
+- tests/test_native_video.py skips ONLY if the C++ library cannot be
+  built (`native/rolling_video.cc`; it builds in this image, so these
+  normally PASS — a skip here means toolchain rot).
+
+Everything else that doesn't run under the fast gate is `-m slow`
+DESELECTED (54 torch-oracle/full-size/e2e tests), not skipped; run those
+with RUN_SLOW=1 or `-m slow`.
 """
 
 import os

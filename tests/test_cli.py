@@ -42,6 +42,29 @@ def test_cli_preset_merge():
     assert settings.refine_step == 0
 
 
+def test_paper_preset_defaults_to_reference_merge():
+    """The paper preset exists for reference parity (fp32, cap off —
+    run_video.py:444-451); it must default to the EXACT reference merge
+    path (decode-all-snippets + stride-1 refine), not the drift-bounded
+    turbo path the speed presets use (VERDICT r4 weakness #3)."""
+    from rollingdepth_tpu.cli import resolve_args
+
+    _, paper = resolve_args(["-i", "x.mp4", "-o", "out", "-p", "paper"])
+    assert paper.merge_in_latent is False
+    assert paper.dtype == "fp32"
+    assert paper.cap_dilation is False
+    assert paper.refine_step == 10
+    # the speed presets keep turbo
+    for preset in ("fast", "fast1024", "full"):
+        _, s = resolve_args(["-i", "x.mp4", "-o", "out", "-p", preset])
+        assert s.merge_in_latent is True, preset
+    # explicit opt-in still works
+    _, s = resolve_args(
+        ["-i", "x.mp4", "-o", "out", "-p", "paper", "--merge-in-latent", "true"]
+    )
+    assert s.merge_in_latent is True
+
+
 def test_cli_reference_alias_spellings():
     """Every long-flag spelling of the reference CLI must parse here too
     (run_video.py:85-408) so invocations are drop-in portable."""
