@@ -97,7 +97,8 @@ def transport_probe():
         add(one).block_until_ready()
     dispatch_ms = (time.perf_counter() - t0) / n * 1e3
 
-    buf = np.zeros((32, 1024, 1024), np.uint8)  # 32 MB
+    buf = np.zeros((8, 1024, 1024), np.uint8)  # 8 MB (a 32 MB probe costs
+    # a minute of wall on a 0.5 MB/s tunnel day — keep the probe itself cheap)
     t0 = time.perf_counter()
     dev = jax.device_put(buf)
     dev.block_until_ready()
