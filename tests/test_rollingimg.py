@@ -351,3 +351,21 @@ def test_gen3_my_rollingdepth_pipeline(tiny_relight):
         seed=3,
     )
     np.testing.assert_allclose(out.snippet_ls[0], out3b.snippet_ls[0], atol=1e-6)
+
+
+def test_resolve_max_trips_env(monkeypatch):
+    """The per-dispatch trip bound: "auto" follows ROLLINGDEPTH_MAX_TRIPS
+    (0 = unbounded, unset = measured-safe default); explicit values pass
+    through untouched (None = unbounded)."""
+    from rollingdepth_tpu.pipelines.rollingimg import (
+        DEFAULT_MAX_TRIPS, resolve_max_trips,
+    )
+
+    monkeypatch.delenv("ROLLINGDEPTH_MAX_TRIPS", raising=False)
+    assert resolve_max_trips("auto") == DEFAULT_MAX_TRIPS
+    monkeypatch.setenv("ROLLINGDEPTH_MAX_TRIPS", "3")
+    assert resolve_max_trips("auto") == 3
+    monkeypatch.setenv("ROLLINGDEPTH_MAX_TRIPS", "0")
+    assert resolve_max_trips("auto") is None
+    assert resolve_max_trips(2) == 2
+    assert resolve_max_trips(None) is None
