@@ -502,18 +502,33 @@ class RollingDepthPipeline:
             # padding used to waste ~20% of decoder FLOPs (e.g. 288 decoded
             # frames for 240 real at the fast-preset shape); the combined
             # flat pass pads only to the final vae_bs multiple
-            flat_ls = [lat.reshape((-1,) + lat.shape[2:]) for lat in lat_ls]
-            shapes = [(lat.shape[0], lat.shape[1]) for lat in lat_ls]
-            depth_flat = self._decode_depth(jnp.concatenate(flat_ls, axis=0), max_vae_bs)
-            snippet_ls = []
-            ofs = 0
-            for s_i, n_i in shapes:
-                img = depth_flat[ofs : ofs + s_i * n_i]
-                ofs += s_i * n_i
-                decoded = img.reshape(s_i, n_i, 1, *img.shape[1:]).astype(jnp.float32)
-                snippet_ls.append(
-                    np.asarray(decoded, dtype=np.float32) if unload_snippet else decoded
-                )
+            # flatten+concat before and split+reshape after the decode each
+            # run as ONE cached program: the eager chain was 4 reshape/
+            # slice/concat glue compiles PER DILATION at every new clip
+            # length (~12 of the reference path's 29 new-length compiles,
+            # ~1.7 s each serialized on remote transports)
+            shapes = tuple((lat.shape[0], lat.shape[1]) for lat in lat_ls)
+            fckey = ("flatten_concat", tuple(lat.shape for lat in lat_ls),
+                     tuple(str(lat.dtype) for lat in lat_ls))
+            if fckey not in self._jit_cache:
+                self._jit_cache[fckey] = jax.jit(lambda ls: jnp.concatenate(
+                    [lat.reshape((-1,) + lat.shape[2:]) for lat in ls], axis=0
+                ))
+            depth_flat = self._decode_depth(
+                self._jit_cache[fckey](tuple(lat_ls)), max_vae_bs
+            )
+            sskey = ("snippet_split", depth_flat.shape, str(depth_flat.dtype), shapes)
+            if sskey not in self._jit_cache:
+                bounds = np.concatenate([[0], np.cumsum([s * n for s, n in shapes])])
+                self._jit_cache[sskey] = jax.jit(lambda x: tuple(
+                    jax.lax.slice_in_dim(x, int(a), int(b), axis=0)
+                    .reshape(s_i, n_i, 1, *x.shape[1:]).astype(jnp.float32)
+                    for (s_i, n_i), a, b in zip(shapes, bounds[:-1], bounds[1:])
+                ))
+            snippet_ls = [
+                np.asarray(decoded, dtype=np.float32) if unload_snippet else decoded
+                for decoded in self._jit_cache[sskey](depth_flat)
+            ]
             if verbose and not unload_snippet:
                 _sync(snippet_ls[-1])
             timings["snippet_infer"] = time.perf_counter() - t0
