@@ -81,14 +81,19 @@ def main():
     text = jax.random.normal(ke, (1, 154, 768), jnp.bfloat16)
     sid = jnp.arange(sb, dtype=jnp.int32)
 
+    def sync(out):
+        # block_until_ready is a NO-OP on the axon transport (see
+        # pipelines.rollingdepth._sync) — close every timing with a real
+        # scalar fetch or the numbers measure dispatch latency only
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+
     def timeit(f, *a, reps=3):
-        out = f(*a)
-        jax.block_until_ready(out)
+        sync(f(*a))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = f(*a)
-            jax.block_until_ready(out)
+            sync(f(*a))
             best = min(best, time.perf_counter() - t0)
         return best
 
