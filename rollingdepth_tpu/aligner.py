@@ -103,6 +103,12 @@ class DepthAligner:
         restore_shift: bool = False,
         channels_last: bool = False,
         return_st: bool = True,
+        index_mats: Sequence[np.ndarray] = None,  # explicit [S_g, w_g] window
+        # indices per group; default reconstructs the reference's stride-1
+        # windows from (S, dilation) exactly like depth_aligner.py:57-66.
+        # Non-stride-1 schedules (turbo partition windows) MUST pass their
+        # true matrices along with seq_len.
+        seq_len: int = None,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray], jnp.ndarray]:
         """Returns (merged [N, C, H, W], scales, translations, loss_history).
 
@@ -132,15 +138,21 @@ class DepthAligner:
         one program each — 3-4 dispatches per call total."""
         cfg = self.config
         snippet_ls = [jnp.asarray(s) for s in snippet_ls]  # f32 cast in prep
-        w0 = snippet_ls[0].shape[1]
-        gap0 = dilations[0] - 1
-        # N = S_0 + (w0-1)*gap0 + (w0-1)  (depth_aligner.py:72-76)
-        seq_len = snippet_ls[0].shape[0] + (w0 - 1) * gap0 + (w0 - 1)
-
-        index_mats = [
-            snippet_index_matrix(seq_len, s.shape[1], d)
-            for s, d in zip(snippet_ls, dilations)
-        ]
+        if index_mats is None:
+            w0 = snippet_ls[0].shape[1]
+            gap0 = dilations[0] - 1
+            # N = S_0 + (w0-1)*gap0 + (w0-1)  (depth_aligner.py:72-76)
+            seq_len = snippet_ls[0].shape[0] + (w0 - 1) * gap0 + (w0 - 1)
+            index_mats = [
+                snippet_index_matrix(seq_len, s.shape[1], d)
+                for s, d in zip(snippet_ls, dilations)
+            ]
+        else:
+            assert seq_len is not None, "explicit index_mats require seq_len"
+            assert all(
+                m.shape[0] == s.shape[0] and m.shape[1] == s.shape[1]
+                for m, s in zip(index_mats, snippet_ls)
+            ), "index_mats must match snippet group shapes"
         # bucket padding: zero window rows + zero one-hot rows + masks keep
         # the solve/merge programs length-independent
         s_true = [m.shape[0] for m in index_mats]

@@ -117,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--init-mode", type=str, default="t2i",
                         choices=["t2i", "shared_noise", "passthrough"],
                         help="Relight init-latent source (replaces the reference's precomputed blob).")
+    parser.add_argument("--turbo-relight", type=str2bool, default=False,
+                        dest="turbo_relight",
+                        help="Relight with partition windows (~snippet_len x fewer "
+                             "20-step SDE denoises + decodes per dilation); false "
+                             "(default) = the reference's stride-1 windows.")
     return parser
 
 
@@ -145,7 +150,11 @@ def resolve_args(argv=None):
 
     if jax.default_backend() == "tpu":
         if "max_vae_bs" not in overrides:
-            settings.max_vae_bs = 16
+            # fp32 (the paper preset's parity dtype) doubles decoder
+            # activations AND weight residency (the SD2 UNet alone is
+            # 3.5 GB fp32); bs 16 decode chunks exhaust v5e HBM — measured
+            # 2026-08-20, BENCH/r5_paper_fp32 — so the fp32 default halves
+            settings.max_vae_bs = 8 if settings.dtype == "fp32" else 16
         if "snippet_batch" not in overrides:
             settings.snippet_batch = 16
     return input_args, settings
@@ -383,6 +392,7 @@ def run_relight(args, settings) -> None:
                 # the 253-frame production length the decoded snippet buffer
                 # is ~3.7 GB of HBM per clip — drop it inside the pipeline
                 keep_snippets=False,
+                turbo=args.turbo_relight,
                 **frame_kwargs,
                 **prompt_kwargs,
             )

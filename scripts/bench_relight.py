@@ -18,8 +18,9 @@ the same estimated-3090 protocol as bench.py (40% fp16 utilization of
 71 TFLOP/s) with a relight FLOP model built from the ACTUAL snippet counts.
 
 Usage: python scripts/bench_relight.py [n_frames] [n_clips] [--sb N] [--vb N]
-       [--trips N] (per-dispatch chunk-trip bound, 0=unbounded; default 1 —
-       the v5e worker-fault mitigation) [--fused-decode]
+       [--trips N] (per-dispatch chunk-trip bound, 0=unbounded; default =
+       the pipeline's measured-safe DEFAULT_MAX_TRIPS — the v5e worker-fault
+       mitigation) [--fused-decode] [--turbo] (partition windows)
 """
 
 import concurrent.futures
@@ -110,12 +111,20 @@ def main():
         del args[i : i + 2]
     # per-dispatch trip bound (worker-fault mitigation; pipeline default 1);
     # --trips 0 = unbounded (everything in one dispatch, the crashing config)
-    trips = 1
+    trips = None
     if "--trips" in args:
         i = args.index("--trips")
         trips = int(args[i + 1])
         del args[i : i + 2]
-    max_trips = trips if trips > 0 else None
+    # default = the pipeline's measured-safe bound (DEFAULT_MAX_TRIPS);
+    # --trips 0 = unbounded (the crashing config), --trips N overrides
+    max_trips = "auto" if trips is None else (trips if trips > 0 else None)
+    # --turbo: partition windows (~snippet_len x fewer SDE denoises+decodes);
+    # the vs_baseline FLOP model still prices the REFERENCE's stride-1
+    # workload — turbo produces the same deliverable with less work
+    turbo = "--turbo" in args
+    if turbo:
+        args.remove("--turbo")
     n_frames = int(args[0]) if args else 24
     n_clips = int(args[1]) if len(args) > 1 else 2
     h, w = RELIGHT_HEIGHT, RELIGHT_WIDTH  # 640 x 720 (reference-fixed)
@@ -168,7 +177,8 @@ def main():
         max_trips_per_dispatch=max_trips,
     )
     print(f"[bench-relight] sb={sb} vb={vb} decode_pass={decode_pass} "
-          f"max_trips_per_dispatch={max_trips}", file=sys.stderr)
+          f"max_trips_per_dispatch={pipe.max_trips_per_dispatch} turbo={turbo}",
+          file=sys.stderr)
     print(f"[bench-relight] setup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     rng = np.random.RandomState(0)
@@ -192,7 +202,7 @@ def main():
 
     kwargs = dict(
         dilations=dilations, cap_dilation=True, seed=12345,
-        max_vae_bs=vb, fetch_output=False,
+        max_vae_bs=vb, fetch_output=False, turbo=turbo,
         # only R/G/B_pred are checked; keeping the decoded snippet buffer
         # (~3.7 GB at 253 frames) alive in each clip's output while the next
         # clip computes would exhaust HBM at production lengths
@@ -226,6 +236,10 @@ def main():
         f"[bench-relight] steady verbose {time.perf_counter()-t0:.1f}s; "
         f"phases {pipe.last_timings}", file=sys.stderr,
     )
+    # the composed-MFU account must read the SYNCED (verbose) phase split —
+    # the timed loop below runs verbose=False, whose last_timings measure
+    # dispatch only (block_until_ready is a no-op on the axon transport)
+    steady_timings = dict(pipe.last_timings)
 
     # timed steady state (double-buffered sync, fetch outside the window)
     out = None  # free the verbose run's output before the timed window
@@ -250,10 +264,17 @@ def main():
         f"-> {fps:.3f} fps", file=sys.stderr,
     )
 
-    snippet_counts = []
+    from rollingdepth_tpu.pipelines.snippets import partition_index_matrix
+
+    snippet_counts = []  # the reference's stride-1 counts — the baseline workload
+    actual_counts = []  # what this run actually dispatched (differs under --turbo)
     for d in dilations:
         dd = cap_max_dilation(n_frames, 3, d, False)
         snippet_counts.append(snippet_index_matrix(n_frames, 3, dd).shape[0])
+        actual_counts.append(
+            partition_index_matrix(n_frames, 3, dd).shape[0] if turbo
+            else snippet_counts[-1]
+        )
     steps = NUM_INFERENCE_STEPS - int(NUM_INFERENCE_STEPS * (1 - HIGHRES_DENOISE))
     flops = relight_flops_per_clip(n_frames, snippet_counts, 3, steps, h, w)
     est_3090_fps = 71e12 * 0.40 / (flops / n_frames)
@@ -267,20 +288,24 @@ def main():
     unet_eval = 2 * 680e9 * lat_hw / (64 * 64)
     vae_scale = (h * w) / (512 * 512)
     enc_f, dec_f = 2 * 560e9 * vae_scale, 2 * 1150e9 * vae_scale
-    total_snip_frames = sum(s * 3 for s in snippet_counts)
+    total_snip_frames = sum(s * 3 for s in actual_counts)
     # padded snippet rows actually dispatched (chunk round-up waste)
     import rollingdepth_tpu.pipelines.chunking as chunking
 
     padded_frames = 0
-    for s in snippet_counts:
+    for s in actual_counts:
         sb_c = chunking.pick_chunk(s, sb, 1)
         padded_frames += (s + ((-s) % sb_c)) * 3
-    t = dict(pipe.last_timings)
+    t = steady_timings
     unet_flops = total_snip_frames * steps * unet_eval
     dec_flops = total_snip_frames * dec_f
     enc_flops = 2 * n_frames * enc_f
     infer_s = t.get("snippet_infer_decode", float("nan"))
-    ceiling_s = unet_flops / 133e12 + dec_flops / 142e12
+    # component ceilings with REAL scalar-fetch syncs (the earlier 133 TF/s
+    # UNet figure timed dispatch only — block_until_ready is a no-op on the
+    # axon transport; scripts/profile_relight_infer.py measures 68 TF/s for
+    # the standalone 12-ch SD1.5 forward, and ~142 TF/s decode holds up)
+    ceiling_s = unet_flops / 68e12 + dec_flops / 142e12
     acct = {
         "encode_TFps": round(enc_flops / max(t.get("encode", 0), 1e-9) / 1e12, 1),
         "infer_decode_TFps": round((unet_flops + dec_flops) / max(infer_s, 1e-9) / 1e12, 1),
@@ -292,11 +317,12 @@ def main():
     print(f"[bench-relight] composed-MFU account: {acct}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "relight_fps_720x640_1chip",
+        "metric": "relight_fps_720x640_1chip" + ("_turbo" if turbo else ""),
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / est_3090_fps, 3),
-        "snippet_counts": snippet_counts,
+        "snippet_counts": actual_counts,
+        "reference_snippet_counts": snippet_counts,
         "unet_steps_per_snippet": steps,
         "composed_account": acct,
     }))

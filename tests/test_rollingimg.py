@@ -252,6 +252,55 @@ def test_relight_bounded_dispatch_matches_unbounded(tiny_relight):
         tiny_relight.decode_in_program = old_decode
 
 
+def test_relight_turbo_windows(tiny_relight):
+    """TURBO relight (opt-in): partition windows replace the reference's
+    stride-1 sliding windows — ~snippet_len x fewer 20-step SDE denoises and
+    decodes per dilation, every frame still covered at every dilation, the
+    same per-channel co-alignment restoring cross-window consistency.  The
+    default path stays the exact reference scheduling; this bounds the
+    turbo drift on the composed tiny fixture."""
+    from rollingdepth_tpu.pipelines.snippets import coverage_count
+
+    fg, bg = _frames(n=12), _frames(n=12, seed=1)
+    kwargs = dict(dilations=[1, 2], cap_dilation=False,
+                  init_mode="shared_noise", seed=12345)
+    out_ref = tiny_relight.forward(fg, bg, **kwargs)
+    out_t = tiny_relight.forward(fg, bg, turbo=True, **kwargs)
+
+    # partition window counts: d=1 -> 12/3 = 4; d=2 -> 2 chains of 6 -> 4
+    # (vs stride-1's 10 and 8)
+    assert out_ref.snippet_ls[0].shape[0] == 10
+    assert out_t.snippet_ls[0].shape[0] == 4
+    assert out_t.snippet_ls[1].shape[0] == 4
+    for p in (out_t.R_pred, out_t.G_pred, out_t.B_pred):
+        assert p.shape == (12, 1, 32, 32)
+        assert np.isfinite(p).all()
+        assert p.min() >= -0.001 and p.max() <= 1.001
+
+    # every frame covered by every dilation's partition window set
+    from rollingdepth_tpu.pipelines.snippets import partition_index_matrix
+
+    for di, d in enumerate([1, 2]):
+        assert out_t.snippet_ls[di].shape[1:] == (3, 3, 32, 32)
+        cov = coverage_count(partition_index_matrix(12, 3, d), 12)
+        assert (cov >= 1).all()
+
+    # drift vs the exact path: turbo averages ~2 covering windows per frame
+    # (one per dilation) instead of the stride-1 path's ~6, so it trades
+    # overlap smoothing for the ~2x speedup — a real, documented quality
+    # tradeoff, not a free approximation.  On this tiny RANDOM-weight
+    # fixture (decoded windows are arbitrary textures, the worst case for
+    # cover-count sensitivity) the channels measure corr ~0.79-0.85; the
+    # bound catches wiring regressions (wrong windows/indices would
+    # decorrelate entirely), not quality claims.
+    for a, b in ((out_ref.R_pred, out_t.R_pred),
+                 (out_ref.G_pred, out_t.G_pred),
+                 (out_ref.B_pred, out_t.B_pred)):
+        corr = np.corrcoef(np.asarray(a).ravel(), np.asarray(b).ravel())[0, 1]
+        print(f"turbo relight drift corr={corr:.4f}")
+        assert corr > 0.7
+
+
 def test_relight_strides_validation(tiny_relight):
     import pytest as _pytest
 
