@@ -193,7 +193,11 @@ def main():
     fp32 = "--fp32" in args
     if fp32:
         args.remove("--fp32")
-    sb = vb = 16  # chunk-size experiments: --sb N --vb N
+    # fp32 doubles weight residency AND decode-chunk activations — vae bs 16
+    # fp32 decode chunks exhaust v5e HBM (same dtype-aware default as the
+    # CLI, cli.py resolve_args; measured 2026-08-20, two OOMs at bs 16)
+    sb = 16
+    vb = 8 if fp32 else 16  # chunk-size experiments: --sb N --vb N
     if "--sb" in args:
         i = args.index("--sb")
         sb = int(args[i + 1])

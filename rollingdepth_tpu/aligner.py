@@ -149,10 +149,15 @@ class DepthAligner:
             ]
         else:
             assert seq_len is not None, "explicit index_mats require seq_len"
+            # groups may arrive born-padded to the S_BUCKET row bucket
+            # (pipelines keep them padded so THIS aligner's prep/solve/merge
+            # programs never key on a raw window count); the index matrix
+            # carries the true count
             assert all(
-                m.shape[0] == s.shape[0] and m.shape[1] == s.shape[1]
+                s.shape[0] in (m.shape[0], _round_up(m.shape[0], S_BUCKET))
+                and m.shape[1] == s.shape[1]
                 for m, s in zip(index_mats, snippet_ls)
-            ), "index_mats must match snippet group shapes"
+            ), "index_mats must match snippet group shapes (raw or S_BUCKET-padded)"
         # bucket padding: zero window rows + zero one-hot rows + masks keep
         # the solve/merge programs length-independent
         s_true = [m.shape[0] for m in index_mats]
@@ -179,10 +184,19 @@ class DepthAligner:
             pads = list(s_pads)
 
             @jax.jit
-            def prep(groups):
-                mn = jnp.min(
-                    jnp.stack([g.min() for g in groups])
-                ).astype(jnp.float32)
+            def prep(groups, row_masks):
+                # global min over TRUE rows only: born-padded groups carry
+                # zero rows that must not clamp the shift (the raw path's
+                # masks are all-ones, so this is the same min)
+                mn = jnp.min(jnp.stack([
+                    jnp.min(jnp.where(
+                        m[: g.shape[0]].reshape(
+                            (g.shape[0],) + (1,) * (g.ndim - 1)
+                        ) > 0,
+                        g.astype(jnp.float32), jnp.inf,
+                    ))
+                    for g, m in zip(groups, row_masks)
+                ])).astype(jnp.float32)
                 padded, views = [], []
                 for g, sp in zip(groups, pads):
                     if channels_last:
@@ -198,7 +212,9 @@ class DepthAligner:
                 return mn, tuple(padded), tuple(views)
 
             _SOLVE_CACHE[pkey] = prep
-        mn, padded_full, solver_views = _SOLVE_CACHE[pkey](tuple(snippet_ls))
+        mn, padded_full, solver_views = _SOLVE_CACHE[pkey](
+            tuple(snippet_ls), tuple(masks)
+        )
 
         scales, translations, history = self._optimize(
             solver_views, onehots, counts, masks, s_true, seq_len, t_pad

@@ -60,6 +60,68 @@ def pad_zeros_dev(cache: Dict[Any, Any], x: jnp.ndarray, target: int) -> jnp.nda
     return cache[key](x)
 
 
+# ---------------------------------------------------------------------------
+# Fixed-row-block dispatch.
+#
+# A chunk program whose OUTPUT buffer is sized by row_capacity(n_pad) is
+# still keyed on the clip length through that bucket: crossing a ROW_BUCKET
+# boundary (e.g. the reference-merge snippet decode going 324 -> 252 rows
+# between a 60f and a 52f paper-preset clip) recompiles the ENTIRE heavy
+# body — at fp32 768p that is a ~100 s VAE/UNet compile on the tunnel, the
+# dominant term of the measured 222.8 s new-length overhead
+# (BENCH/r5_paper_fp32.log, probe: scripts/probe_glue_compiles.py).
+#
+# The fix: dispatch the SAME compiled program over fixed-size row BLOCKS
+# (ROW_BUCKET rows rounded up to whole chunks).  The heavy body is keyed by
+# (chunk, block) only; a new clip length costs at most three trivial glue
+# programs (pad / dynamic-slice / concat, <0.3 s local compile each) and
+# ceil(n/block)-1 extra dispatches (~28 ms tunnel latency each, ~1% of a
+# block's compute).  Trip counts stay dynamic so pad rows are never computed.
+# ---------------------------------------------------------------------------
+
+
+def block_rows(rows: int) -> int:
+    """Fixed per-dispatch block: ROW_BUCKET rounded up to whole chunks.
+    Depends only on the chunk geometry, NEVER on the work count."""
+    return round_up(ROW_BUCKET, rows)
+
+
+def slice_rows(cache: Dict[Any, Any], src: jnp.ndarray, start: int, block: int) -> jnp.ndarray:
+    """[block, ...] rows of ``src`` starting at ``start`` — the offset is a
+    traced scalar, so one program per (src bucket, block) serves every
+    block of every clip length."""
+    key = ("rowslice", src.shape, str(src.dtype), block)
+    if key not in cache:
+        cache[key] = jax.jit(
+            lambda x, o: jax.lax.dynamic_slice_in_dim(x, o, block, 0)
+        )
+    return cache[key](src, start)
+
+
+def concat_rows(cache: Dict[Any, Any], parts: List[jnp.ndarray]) -> jnp.ndarray:
+    """Concatenate equal-shaped row blocks (one program per block count)."""
+    if len(parts) == 1:
+        return parts[0]
+    key = ("rowconcat", len(parts), parts[0].shape, str(parts[0].dtype))
+    if key not in cache:
+        cache[key] = jax.jit(lambda ts: jnp.concatenate(ts, axis=0))
+    return cache[key](tuple(parts))
+
+
+def run_blocked(cache, dispatch, src: jnp.ndarray, n_pad: int, rows: int, block: int) -> jnp.ndarray:
+    """Host-loop ``dispatch(z_block, ntrips)`` over fixed-``block``-row
+    slices of ``src`` covering ``n_pad`` true rows; returns the concatenated
+    [ceil(n_pad/block)*block, ...] buffer (callers slice to true length)."""
+    nblocks = max(1, -(-n_pad // block))
+    src = pad_zeros_dev(cache, src, nblocks * block)
+    outs = []
+    for b in range(nblocks):
+        z = slice_rows(cache, src, b * block, block)
+        trips = -(-min(block, n_pad - b * block) // rows)
+        outs.append(dispatch(z, trips))
+    return concat_rows(cache, outs)
+
+
 def pick_chunk(s: int, max_chunk: int, dp: int = 1) -> int:
     """Per-device chunk size for ``s`` work items sharded over ``dp``:
     ``max_chunk`` whenever the per-device share reaches it.
@@ -81,11 +143,28 @@ def encode_frames(cache, vae, vae_params, frames: jnp.ndarray, vae_bs: int) -> j
     bs, bucket), never the clip length.  Shared by the depth and relight
     pipelines (both encode with identical chunking semantics)."""
     n = frames.shape[0]
+    return encode_frames_padded(cache, vae, vae_params, frames, n, vae_bs)[:n]
+
+
+def encode_frames_padded(
+    cache, vae, vae_params, frames: jnp.ndarray, n_true: int, vae_bs: int
+) -> jnp.ndarray:
+    """Capacity-padded encode: frames may carry zero-padded tail rows
+    (``frames.shape[0] >= n_true``); returns a ``>= round_up(n_true, bs)``-row
+    buffer — rows past ``round_up(n_true, bs)`` are zero (never encoded),
+    rows in ``[n_true, round_up(n_true, bs))`` are last-chunk pad encodes.
+
+    The VAE program is keyed by (frame shape, bs, BLOCK) only — fixed-size
+    row blocks (see ``run_blocked``), so NO clip length or row bucket ever
+    recompiles the encoder.  Callers that keep arrays born-padded (host-pad
+    before upload, one final slice at the fetch boundary) pay only the
+    trivial pad/slice/concat glue at a new length (doc/ROADMAP.md
+    'New-length compile cost')."""
+    n = n_true
     bs = pick_chunk(n, vae_bs)
     n_pad = round_up(n, bs)
-    ncap = row_capacity(n_pad)
-    src = pad_zeros_dev(cache, frames, ncap)
-    key = ("encode", frames.shape[1:], bs, ncap, backend_tag())
+    block = block_rows(bs)
+    key = ("encode", frames.shape[1:], bs, block, backend_tag())
     if key not in cache:
         lat_sd = jax.eval_shape(
             lambda p, c: vae.encode_mean(p, c),
@@ -100,8 +179,11 @@ def encode_frames(cache, vae, vae_params, frames: jnp.ndarray, vae_bs: int) -> j
                 z = vae.encode_mean(params, c)
                 return jax.lax.dynamic_update_slice_in_dim(buf, z, i * bs, 0)
 
-            buf = jnp.zeros((ncap,) + lat_sd.shape[1:], lat_sd.dtype)
+            buf = jnp.zeros((block,) + lat_sd.shape[1:], lat_sd.dtype)
             return jax.lax.fori_loop(0, nchunks, body, buf)
 
         cache[key] = fn
-    return cache[key](vae_params, src, n_pad // bs)[:n]
+    fn = cache[key]
+    return run_blocked(
+        cache, lambda z, trips: fn(vae_params, z, trips), frames, n_pad, bs, block
+    )

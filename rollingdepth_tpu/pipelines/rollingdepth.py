@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..aligner import AlignerConfig, DepthAligner
+from ..aligner import S_BUCKET, AlignerConfig, DepthAligner
 from ..models.unet import UNet2DCondition, unet_apply
 from ..ops.attention import backend_tag
 from ..models.vae import AutoencoderKL
@@ -41,11 +41,16 @@ from ..schedulers.ddim import DDIMScheduler
 from ..io.video import load_video_frames
 from .chunking import (
     FRAME_CAPACITY,
+    block_rows,
     capacity as _capacity,
+    concat_rows,
     encode_frames,
+    encode_frames_padded,
     pad_zeros_dev,
     pick_chunk as _pick_chunk,
+    round_up,
     row_capacity,
+    run_blocked,
 )
 from .snippets import (
     cap_max_dilation,
@@ -94,6 +99,20 @@ def _pad_rows(x: np.ndarray, target: int) -> np.ndarray:
         return x
     reps = np.repeat(x[-1:], target - x.shape[0], axis=0)
     return np.concatenate([x, reps], axis=0)
+
+
+def _round_up_sb(s: int) -> int:
+    """Round a window count up to the aligner's S_BUCKET row bucket."""
+    return S_BUCKET * (-(-s // S_BUCKET))
+
+
+def _pad_rows_zero_np(x: np.ndarray, target: int) -> np.ndarray:
+    """Zero-pad axis 0 on the HOST (free) — inputs are born bucket-padded so
+    no downstream device program is keyed on the raw clip length."""
+    if x.shape[0] >= target:
+        return x
+    widths = [(0, target - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, widths)
 
 
 
@@ -363,12 +382,25 @@ class RollingDepthPipeline:
         # uint8 input uploads at 1/4 the f32 cost and normalizes on-chip;
         # a jax.Array input is already device-resident (pipelined callers
         # upload clip k+1 while clip k computes) and skips the upload
+        # born-padded (new-length compile fix, doc/ROADMAP.md): host inputs
+        # are zero-padded to the encode row capacity BEFORE upload — numpy
+        # pad is free, whereas a raw-length device array keys every
+        # downstream program on the exact clip length (~22 trivial compiles
+        # x ~1.7-3.5 s serialized remote compile latency per new length).
+        # True counts travel as Python ints (dynamic trip counts) or tiny
+        # host-built masks; ONE slice at the output boundary restores the
+        # exact-length contract.
+        enc_bs = _pick_chunk(seq_len, max_vae_bs)
+        enc_cap = row_capacity(round_up(seq_len, enc_bs))
         if isinstance(input_frames, jax.Array):
-            dev = input_frames  # [N, 3, H, W]
+            # device-resident serving input: one pad program per raw length
+            # (serving loops reuse one length, so this compiles once)
+            dev = self._pad_zeros_dev(input_frames, enc_cap)
         elif input_frames.dtype == np.uint8:
-            dev = _upload(input_frames)  # [N, 3, H, W] uint8
+            dev = _upload(_pad_rows_zero_np(input_frames, enc_cap))
         else:
-            dev = _upload(input_frames.astype(np.float32, copy=False))
+            dev = _upload(_pad_rows_zero_np(
+                input_frames.astype(np.float32, copy=False), enc_cap))
         # one fused normalize program (not 4 eager transpose/cast/div/sub
         # dispatches): raw-shaped glue compiles cost ~1.7 s each serialized
         # on the tunnel, so every chain of eager ops on a clip-length-shaped
@@ -385,7 +417,11 @@ class RollingDepthPipeline:
                     lambda x: jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
                 )
         frames_nhwc = self._jit_cache[fkey](dev)
-        rgb_latent = self._encode_frames(frames_nhwc, max_vae_bs)  # [N, h, w, 4]
+        # [enc_cap, h, w, 4] — capacity-padded; only seq_len rows are real
+        rgb_latent = encode_frames_padded(
+            self._jit_cache, self.vae, self.vae_params,
+            frames_nhwc, seq_len, max_vae_bs,
+        )
         if verbose:
             _sync(rgb_latent)
         timings["encode"] = time.perf_counter() - t0
@@ -424,13 +460,20 @@ class RollingDepthPipeline:
                 rgb_latent, init_noise_single, idx_all, init_infer_steps[0]
             )
             # split per dilation in ONE program (3 eager slices = 3 glue
-            # compiles per new clip length on the tunnel)
+            # compiles per new clip length on the tunnel); groups come out
+            # BORN-PADDED to the aligner's S_BUCKET so its prep/solve/merge
+            # programs key on buckets, never on raw window counts — this
+            # split is the single cheap raw-keyed boundary program
             counts = tuple(idx.shape[0] for idx in idx_ls)
             skey = ("dilation_split", lat_all.shape, str(lat_all.dtype), counts)
             if skey not in self._jit_cache:
                 bounds = np.concatenate([[0], np.cumsum(counts)])
                 self._jit_cache[skey] = jax.jit(lambda x: tuple(
-                    jax.lax.slice_in_dim(x, int(a), int(b), axis=0)
+                    jnp.pad(
+                        jax.lax.slice_in_dim(x, int(a), int(b), axis=0),
+                        [(0, _round_up_sb(int(b - a)) - int(b - a))]
+                        + [(0, 0)] * (x.ndim - 1),
+                    )
                     for a, b in zip(bounds[:-1], bounds[1:])
                 ))
             lat_ls.extend(self._jit_cache[skey](lat_all))
@@ -476,10 +519,13 @@ class RollingDepthPipeline:
             lat_kwargs.update(latent_coalign_kwargs or {})
             aligner = DepthAligner(AlignerConfig(**lat_kwargs), verbose=verbose)
             # latents stay in their native [S, n, h, w, 4] layout — the
-            # aligner's channels_last path avoids two full transposes
+            # aligner's channels_last path avoids two full transposes;
+            # explicit index_mats + seq_len because the groups may be
+            # born-padded (uniform-preset branch above)
             merged_lat, scales, translations, loss_history = aligner.run(
                 lat_ls, dilations, restore_shift=True, channels_last=True,
                 return_st=False,  # forward only consumes merged
+                index_mats=idx_ls, seq_len=seq_len,
             )  # [N, h, w, 4]
             if verbose:
                 _sync(merged_lat)
@@ -507,27 +553,43 @@ class RollingDepthPipeline:
             # slice/concat glue compiles PER DILATION at every new clip
             # length (~12 of the reference path's 29 new-length compiles,
             # ~1.7 s each serialized on remote transports)
-            shapes = tuple((lat.shape[0], lat.shape[1]) for lat in lat_ls)
+            # true window counts come from the index matrices (lat_ls groups
+            # may be born-padded to S_BUCKET by the uniform-preset split)
+            shapes = tuple(
+                (idx.shape[0], lat.shape[1]) for idx, lat in zip(idx_ls, lat_ls)
+            )
             fckey = ("flatten_concat", tuple(lat.shape for lat in lat_ls),
-                     tuple(str(lat.dtype) for lat in lat_ls))
+                     shapes, tuple(str(lat.dtype) for lat in lat_ls))
             if fckey not in self._jit_cache:
                 self._jit_cache[fckey] = jax.jit(lambda ls: jnp.concatenate(
-                    [lat.reshape((-1,) + lat.shape[2:]) for lat in ls], axis=0
+                    # [:s] drops born-pad rows so the decoder below only
+                    # touches REAL snippet frames
+                    [lat[:s].reshape((-1,) + lat.shape[2:])
+                     for lat, (s, _) in zip(ls, shapes)],
+                    axis=0,
                 ))
             depth_flat = self._decode_depth(
                 self._jit_cache[fckey](tuple(lat_ls)), max_vae_bs
             )
+            # split back per dilation; groups come out BORN-PADDED to the
+            # aligner's S_BUCKET (zero rows) so prep/solve/merge key on
+            # buckets — the user-facing snippet_ls below slices back to the
+            # true counts
             sskey = ("snippet_split", depth_flat.shape, str(depth_flat.dtype), shapes)
             if sskey not in self._jit_cache:
                 bounds = np.concatenate([[0], np.cumsum([s * n for s, n in shapes])])
                 self._jit_cache[sskey] = jax.jit(lambda x: tuple(
-                    jax.lax.slice_in_dim(x, int(a), int(b), axis=0)
-                    .reshape(s_i, n_i, 1, *x.shape[1:]).astype(jnp.float32)
+                    jnp.pad(
+                        jax.lax.slice_in_dim(x, int(a), int(b), axis=0)
+                        .reshape(s_i, n_i, 1, *x.shape[1:]).astype(jnp.float32),
+                        [(0, _round_up_sb(s_i) - s_i)] + [(0, 0)] * 4,
+                    )
                     for (s_i, n_i), a, b in zip(shapes, bounds[:-1], bounds[1:])
                 ))
+            group_ls = self._jit_cache[sskey](depth_flat)
             snippet_ls = [
-                np.asarray(decoded, dtype=np.float32) if unload_snippet else decoded
-                for decoded in self._jit_cache[sskey](depth_flat)
+                np.asarray(g[:s], dtype=np.float32) if unload_snippet else g[:s]
+                for g, (s, _) in zip(group_ls, shapes)
             ]
             if verbose and not unload_snippet:
                 _sync(snippet_ls[-1])
@@ -537,8 +599,9 @@ class RollingDepthPipeline:
             t0 = time.perf_counter()
             aligner = DepthAligner(AlignerConfig(**(coalign_kwargs or {})), verbose=verbose)
             depth_coaligned, scales, translations, loss_history = aligner.run(
-                [jnp.asarray(s) for s in snippet_ls], dilations,
+                group_ls, dilations,
                 return_st=False,  # forward only consumes the coaligned depth
+                index_mats=idx_ls, seq_len=seq_len,
             )
             if verbose:
                 _sync(depth_coaligned)
@@ -588,6 +651,7 @@ class RollingDepthPipeline:
                 snippet_len=refine_snippet_len,
                 start_dilation=refine_start_dilation,
                 partition=bool(turbo_refine),
+                seq_len=seq_len,
             )
             depth_dev = self._decode_depth(depth_latent, max_vae_bs)[:, None]  # [N,1,H,W]
             if verbose and not fetch_output:
@@ -654,16 +718,19 @@ class RollingDepthPipeline:
     def _decode_depth(self, latents: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
         """[N, h, w, 4] -> [N, H, W] depth (channel-mean, reference :737).
 
-        ONE dispatch (dynamic chunk count, bucket-keyed program); with a
-        mesh each chunk is dp-sharded like the denoise pass."""
+        Fixed-row-block dispatches (chunking.run_blocked): the VAE program
+        is keyed by (chunk, block) only — a new clip length / snippet count
+        NEVER recompiles the decoder (at fp32 768p that recompile was the
+        dominant term of the 222.8 s new-length overhead,
+        BENCH/r5_paper_fp32.log).  With a mesh each chunk is dp-sharded
+        like the denoise pass."""
         n = latents.shape[0]
         dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         bs = _pick_chunk(n, vae_bs)
         rows = bs * dp
         n_pad = n + ((-n) % rows)
-        ncap = row_capacity(n_pad)
-        src = self._pad_zeros_dev(latents, ncap)
-        key = ("decode", latents.shape[1:], bs, dp, ncap, backend_tag())
+        block = block_rows(rows)
+        key = ("decode", latents.shape[1:], bs, dp, block, backend_tag())
         if key not in self._jit_cache:
             vae = self.vae
             mesh = self.mesh
@@ -691,21 +758,26 @@ class RollingDepthPipeline:
                         )(c)
                     return jax.lax.dynamic_update_slice_in_dim(buf, img, i * rows, 0)
 
-                buf = jnp.zeros((ncap,) + img_sd.shape[1:3], img_sd.dtype)
+                buf = jnp.zeros((block,) + img_sd.shape[1:3], img_sd.dtype)
                 return jax.lax.fori_loop(0, nchunks, body, buf)
 
             self._jit_cache[key] = fn
-        return self._jit_cache[key](self.vae_params, src, n_pad // rows)[:n]
+        fn = self._jit_cache[key]
+        out = run_blocked(
+            self._jit_cache, lambda z, t: fn(self.vae_params, z, t),
+            latents, n_pad, rows, block,
+        )
+        return out[:n]
 
     def _decode_rgb(self, latents: jnp.ndarray, vae_bs: int) -> jnp.ndarray:
         """[N, h, w, 4] -> [N, H, W, 3] full RGB decode (no channel mean) —
-        the relight/passthrough decode variant (rollingimg decode_rgb)."""
+        the relight/passthrough decode variant (rollingimg decode_rgb).
+        Fixed-row-block dispatches like ``_decode_depth``."""
         n = latents.shape[0]
         bs = _pick_chunk(n, vae_bs)
         n_pad = n + ((-n) % bs)
-        ncap = row_capacity(n_pad)
-        src = self._pad_zeros_dev(latents, ncap)
-        key = ("decode_rgb", latents.shape[1:], bs, ncap, backend_tag())
+        block = block_rows(bs)
+        key = ("decode_rgb", latents.shape[1:], bs, block, backend_tag())
         if key not in self._jit_cache:
             vae = self.vae
             img_sd = jax.eval_shape(
@@ -721,11 +793,16 @@ class RollingDepthPipeline:
                     img = vae.decode(params, c)
                     return jax.lax.dynamic_update_slice_in_dim(buf, img, i * bs, 0)
 
-                buf = jnp.zeros((ncap,) + img_sd.shape[1:], img_sd.dtype)
+                buf = jnp.zeros((block,) + img_sd.shape[1:], img_sd.dtype)
                 return jax.lax.fori_loop(0, nchunks, body, buf)
 
             self._jit_cache[key] = fn
-        return self._jit_cache[key](self.vae_params, src, n_pad // bs)[:n]
+        fn = self._jit_cache[key]
+        out = run_blocked(
+            self._jit_cache, lambda z, t: fn(self.vae_params, z, t),
+            latents, n_pad, bs, block,
+        )
+        return out[:n]
 
     def _infer_snippets(
         self,
@@ -753,19 +830,29 @@ class RollingDepthPipeline:
         src = self._pad_zeros_dev(rgb_latent, cap)
 
         def run(idx_np: np.ndarray, sb_c: int) -> jnp.ndarray:
+            # fixed-row-block dispatches: the UNet program is keyed by
+            # (chunk, BLOCK) — never by the snippet-count bucket, so a new
+            # clip length reuses it (chunking.run_blocked rationale); idx
+            # blocks are sliced on the HOST (numpy, free) and uploaded as
+            # one fixed shape
             s_c = idx_np.shape[0]
             rows_c = sb_c * dp
             s_pad = s_c + ((-s_c) % rows_c)
+            block = block_rows(rows_c)
             fn = self._infer_program(
-                rgb_latent.shape[1:], n, sb_c, dp, infer_steps, cap,
-                row_capacity(s_pad),
+                rgb_latent.shape[1:], n, sb_c, dp, infer_steps, cap, block,
             )
-            idx = jnp.asarray(_pad_rows(idx_np, row_capacity(s_pad)))
-            out = fn(
-                self.unet_params, self.empty_text_embed, src, idx,
-                init_noise_single, timesteps, s_pad // rows_c,
-            )
-            return out[:s_c]
+            nblocks = max(1, -(-s_pad // block))
+            idx_full = _pad_rows(idx_np, nblocks * block)
+            outs = []
+            for b in range(nblocks):
+                idx_b = jnp.asarray(idx_full[b * block:(b + 1) * block])
+                trips = -(-min(block, s_pad - b * block) // rows_c)
+                outs.append(fn(
+                    self.unet_params, self.empty_text_embed, src, idx_b,
+                    init_noise_single, timesteps, trips,
+                ))
+            return concat_rows(self._jit_cache, outs)[:s_c]
 
         # Mixed-chunk dispatch: full-size chunks keep the UNet batch at peak
         # MXU efficiency; a small remainder runs as dynamic trips of ONE
@@ -788,9 +875,9 @@ class RollingDepthPipeline:
         tail = run(index_matrix[s_main:], tail_sb)
         return jnp.concatenate([main, tail], axis=0)  # [S, n, h, w, 4]
 
-    def _infer_program(self, lat_hw4, n, sb, dp, infer_steps, cap, scap):
+    def _infer_program(self, lat_hw4, n, sb, dp, infer_steps, cap, block):
         rows = sb * dp
-        key = ("infer", lat_hw4, n, sb, dp, infer_steps, cap, scap,
+        key = ("infer", lat_hw4, n, sb, dp, infer_steps, cap, block,
                self.use_flash, backend_tag())
         if key not in self._jit_cache:
             unet, unet_cfg = self.unet, self.unet.config
@@ -842,7 +929,7 @@ class RollingDepthPipeline:
                         )(snippets)
                     return jax.lax.dynamic_update_slice_in_dim(buf, lat, i * rows, 0)
 
-                buf = jnp.zeros((scap, n) + src.shape[1:], dtype)
+                buf = jnp.zeros((block, n) + src.shape[1:], dtype)
                 return jax.lax.fori_loop(0, nchunks, chunk_body, buf)
 
             self._jit_cache[key] = fn
@@ -859,6 +946,8 @@ class RollingDepthPipeline:
         start_dilation: int,
         skip_t_ratio: float = 0.5,
         partition: bool = False,
+        seq_len: int = None,  # TRUE frame count; inputs may be
+        # capacity-padded (born-padded pipeline), so shape[0] is a bucket
     ) -> jnp.ndarray:
         """Coarse-to-fine rolling refinement (reference :517-633).
 
@@ -874,7 +963,8 @@ class RollingDepthPipeline:
         windows, every frame denoised ~once) — snippet_len x fewer UNet
         evals per step at a bounded drift (see
         snippets.partition_index_matrix)."""
-        seq_len = rgb_latent.shape[0]
+        if seq_len is None:
+            seq_len = rgb_latent.shape[0]
         total_steps = int(refine_step / skip_t_ratio)
         all_ts = self.scheduler.timesteps(total_steps)
         start_idx = int(len(all_ts) * skip_t_ratio)
@@ -895,14 +985,18 @@ class RollingDepthPipeline:
         s_max = max(true_counts)
         sb = _pick_chunk(s_max, self.snippet_batch, dp)
         rows = sb * dp
-        s_pad = s_max + ((-s_max) % rows)
-        scap = row_capacity(s_pad)
+        cap = _capacity(seq_len)
+        # idx/mask buffers sized by the FRAME capacity bucket, not the
+        # window-count bucket: stride-1 window counts are < seq_len <= cap,
+        # so scap is a function of cap and never an independent recompile
+        # axis for step_fn (the buffers are tiny int32/f32 [scap, n]; the
+        # per-step chunk count stays dynamic, pad rows are never computed)
+        scap = round_up(cap, rows)
         idx_steps = [_pad_rows(m, scap) for m in idx_list]  # [scap, n] each
         mask_steps = [
             (np.arange(scap) < c).astype(np.float32) for c in true_counts
         ]
 
-        cap = _capacity(seq_len)
         src_rgb = self._pad_zeros_dev(rgb_latent, cap)
         lat_shape = rgb_latent.shape[1:]  # (h, w, 4)
         n = snippet_len

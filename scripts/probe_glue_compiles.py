@@ -62,6 +62,14 @@ def main():
     refine = 2
     if "--refine" in args:
         refine = int(args[args.index("--refine") + 1])
+    # --dilations 1,10,25 --frames 60,60,66,73: reproduce a preset's window
+    # structure (e.g. paper = uncapped [1,10,25]) at tiny model scale
+    dilations = [1, 2, 3]
+    if "--dilations" in args:
+        dilations = [int(d) for d in args[args.index("--dilations") + 1].split(",")]
+    frame_seq = [20, 20, 26, 31]
+    if "--frames" in args:
+        frame_seq = [int(n) for n in args[args.index("--frames") + 1].split(",")]
 
     from rollingdepth_tpu.models.unet import UNet2DCondition, UNetConfig
     from rollingdepth_tpu.models.vae import AutoencoderKL, VAEConfig
@@ -85,7 +93,7 @@ def main():
         dtype=jnp.float32, snippet_batch=4, vae_batch=4,
     )
     kwargs = dict(
-        dilations=[1, 2, 3], cap_dilation=False, refine_step=refine, seed=0,
+        dilations=dilations, cap_dilation=False, refine_step=refine, seed=0,
         max_vae_bs=4, fetch_output=False, merge_in_latent=turbo,
         coalign_kwargs={"num_iterations": 8},
         latent_coalign_kwargs={"num_iterations": 8, "factor": 1},
@@ -105,8 +113,12 @@ def main():
 
     mode = "turbo" if turbo else "reference"
     handler.trace = "--trace" in args
-    for label, n in (("cold(20)", 20), ("same(20)", 20), ("new(26)", 26),
-                     ("new(31)", 31)):
+    labels = [f"cold({frame_seq[0]})"] + [
+        (f"same({n})" if n in frame_seq[:i + 1] else f"new({n})")
+        for i, n in enumerate(frame_seq[1:])
+    ]
+    first_new = next((l for l in labels if l.startswith("new")), None)
+    for label, n in zip(labels, frame_seq):
         handler.compiled.clear()
         handler.sites.clear()
         run(n)
@@ -114,7 +126,7 @@ def main():
         print(f"[{mode} refine={refine}] {label}: {len(handler.compiled)} compiles")
         for name, c in counts.most_common():
             print(f"    {c:4d}  {name}")
-        if handler.trace and label == "new(26)":
+        if handler.trace and label == first_new:
             print("  call sites:")
             for (name, site), c in collections.Counter(handler.sites).most_common():
                 print(f"    {c:4d}  {name:30s} {site}")
