@@ -98,6 +98,21 @@ def slice_rows(cache: Dict[Any, Any], src: jnp.ndarray, start: int, block: int) 
     return cache[key](src, start)
 
 
+def update_rows(cache: Dict[Any, Any], buf: jnp.ndarray, part: jnp.ndarray, start: int) -> jnp.ndarray:
+    """Write ``part`` into ``buf`` at row ``start`` (buf donated — callers
+    must rebind: ``buf = update_rows(cache, buf, part, off)``).  The
+    streaming assembly twin of ``slice_rows`` for carry-style outputs that
+    are too large to concat (one buffer + one block live, never two
+    copies)."""
+    key = ("rowupdate", buf.shape, str(buf.dtype), part.shape)
+    if key not in cache:
+        cache[key] = jax.jit(
+            lambda b, p, o: jax.lax.dynamic_update_slice_in_dim(b, p, o, 0),
+            donate_argnums=(0,),
+        )
+    return cache[key](buf, part, start)
+
+
 def concat_rows(cache: Dict[Any, Any], parts: List[jnp.ndarray]) -> jnp.ndarray:
     """Concatenate equal-shaped row blocks (one program per block count)."""
     if len(parts) == 1:
