@@ -421,6 +421,12 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", want_platform)
+    # persistent XLA compilation cache: a repeat run of any previously-seen
+    # (config, bucket) combination skips its compiles entirely (opt out with
+    # ROLLINGDEPTH_XLA_CACHE=0 — utils/compile_cache.py)
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args, settings = resolve_args(argv)
     logging.info("arguments: %s", settings)
     if args.attn_backend and args.attn_backend != "auto":
