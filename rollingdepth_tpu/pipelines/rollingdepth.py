@@ -69,14 +69,27 @@ class RollingDepthOutput:
     (/root/reference/rollingdepth/rollingdepth_pipeline.py:44-49).
 
     ``input_rgb`` is computed lazily: the uint8->float conversion of a full
-    clip costs seconds on the host and most consumers never read it."""
+    clip costs seconds on the host and most consumers never read it.
+    ``snippet_ls`` may also be lazy (a callable producing the list): the
+    per-dilation slices off the born-padded decode groups are per-clip-length
+    glue programs that serving callers never need."""
 
     def __init__(self, input_frames, depth_pred, snippet_ls, depth_coaligned):
         self._input_frames = input_frames  # [N, 3, H, W] uint8 or f32 [-1,1]
         self.depth_pred = depth_pred  # [N, 1, H, W] in [-1, 1]
-        self.snippet_ls = snippet_ls  # per dilation [S, n, 1, H, W]
+        self._snippet_ls = snippet_ls  # per dilation [S, n, 1, H, W] or thunk
         self.depth_coaligned = depth_coaligned  # [N, 1, H, W]
         self._input_rgb = None
+
+    @property
+    def snippet_ls(self):
+        if callable(self._snippet_ls):
+            self._snippet_ls = self._snippet_ls()
+        return self._snippet_ls
+
+    @snippet_ls.setter
+    def snippet_ls(self, value):
+        self._snippet_ls = value
 
     @property
     def input_rgb(self) -> np.ndarray:
@@ -587,12 +600,20 @@ class RollingDepthPipeline:
                     for (s_i, n_i), a, b in zip(shapes, bounds[:-1], bounds[1:])
                 ))
             group_ls = self._jit_cache[sskey](depth_flat)
-            snippet_ls = [
-                np.asarray(g[:s], dtype=np.float32) if unload_snippet else g[:s]
-                for g, (s, _) in zip(group_ls, shapes)
-            ]
-            if verbose and not unload_snippet:
-                _sync(snippet_ls[-1])
+            if unload_snippet:
+                snippet_ls = [
+                    np.asarray(g[:s], dtype=np.float32)
+                    for g, (s, _) in zip(group_ls, shapes)
+                ]
+            else:
+                # LAZY (RollingDepthOutput property): the [:s] slices back to
+                # true counts are per-clip-length glue programs serving
+                # callers never touch
+                snippet_ls = lambda: [  # noqa: E731
+                    g[:s] for g, (s, _) in zip(group_ls, shapes)
+                ]
+                if verbose:
+                    _sync(group_ls[-1])
             timings["snippet_infer"] = time.perf_counter() - t0
 
             # ---- co-alignment (reference :304-318)
@@ -642,7 +663,13 @@ class RollingDepthPipeline:
                         jnp.repeat(x, 3, axis=1), (0, 2, 3, 1)
                     ).astype(dtype))
                 depth3 = self._jit_cache[dkey](depth_coaligned)  # N H W 3
-                depth_latent = self._encode_frames(depth3, max_vae_bs)
+                # padded encode: the [block]-rounded latent buffer keeps
+                # _refine's add_noise_pad program keyed on the bucket, not
+                # the clip length (its seq_len=... arg owns the true count)
+                depth_latent = encode_frames_padded(
+                    self._jit_cache, self.vae, self.vae_params, depth3,
+                    seq_len, max_vae_bs,
+                )
             depth_latent = self._refine(
                 rgb_latent,
                 depth_latent,

@@ -13,8 +13,10 @@ CUDA kernels are cached by the driver).
 Enabled by default for the CLI and bench; control with
 ``ROLLINGDEPTH_XLA_CACHE``:
 
-- unset      -> ``~/.cache/rollingdepth_tpu/xla``
-- a path     -> that directory
+- unset      -> ``~/.cache/rollingdepth_tpu/xla`` (but auto-off on the axon
+  remote-compile tunnel, where cache writes serialize worker-side
+  executables back over a ~MB/s link)
+- a path     -> that directory (forces on, any backend)
 - ``0``/``off`` -> disabled
 
 The min-compile-time / min-entry-size thresholds are zeroed because on
@@ -42,6 +44,21 @@ def enable_persistent_cache(path: Optional[str] = None) -> Optional[str]:
     env = os.environ.get("ROLLINGDEPTH_XLA_CACHE", "")
     if env.lower() in _DISABLE:
         return None
+    if not env and path is None:
+        # default-on only where executable serialization is local.  On the
+        # axon remote-compile tunnel each cache WRITE serializes the
+        # worker-side executable back over a ~MB/s link — measured 2026-08-20:
+        # the tiny CLI fixture goes from ~200 s to >580 s (hang-like).  An
+        # explicit ROLLINGDEPTH_XLA_CACHE path overrides this guard.
+        import jax
+
+        if jax.default_backend() == "axon":
+            logger.debug(
+                "persistent compilation cache off on the axon tunnel "
+                "(remote executable serialization; set "
+                "ROLLINGDEPTH_XLA_CACHE=<dir> to force)"
+            )
+            return None
     path = path or env or os.path.join(
         os.path.expanduser("~"), ".cache", "rollingdepth_tpu", "xla"
     )
