@@ -206,6 +206,10 @@ def main():
         i = args.index("--vb")
         vb = int(args[i + 1])
         del args[i : i + 2]
+    turbo = "--turbo" in args  # opt the paper preset back into the latent
+    # merge (must be parsed before the positionals)
+    if turbo:
+        args.remove("--turbo")
     n_frames = int(args[0]) if len(args) > 0 else 60
     n_clips = int(args[1]) if len(args) > 1 else 4  # timed clips
     # preset geometry/config (utils/presets.py; reference run_video.py:423-452)
@@ -227,9 +231,7 @@ def main():
     max_edge, dilations, refine_step, merge_latent, cap_dil = MODES[mode]
     if ref_merge:
         merge_latent = False
-    turbo = "--turbo" in args
     if turbo:
-        args.remove("--turbo")
         merge_latent = True
     h, w = max_edge, (max_edge * 9 // 16) // 8 * 8  # 16:9 at the preset edge
 

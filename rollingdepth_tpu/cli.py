@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="directory the manifests' relative frame paths resolve under")
     parser.add_argument("--eval-max-sequences", type=int, default=None,
                         help="evaluate only the first N manifests (deterministic order)")
+    parser.add_argument("--eval-depth-scale", type=float, default=None,
+                        help="override the per-dataset GT uint16->meters decode factor "
+                             "(eval.py DATASET_DEPTH_SCALE; use when a GT export "
+                             "deviates from the dataset's published convention)")
     parser.add_argument("--prompt", type=str, default=None)
     parser.add_argument("--a-prompt", type=str, default=None, dest="a_prompt")
     parser.add_argument("--n-prompt", type=str, default=None, dest="n_prompt")
@@ -331,6 +335,7 @@ def run_eval(args, settings) -> None:
         processing_res=settings.res,
         max_sequences=args.eval_max_sequences,
         csv_path=csv_path,
+        depth_scale=args.eval_depth_scale,
         dilations=list(settings.dilations),
         cap_dilation=settings.cap_dilation,
         snippet_lengths=list(settings.snippet_lengths),

@@ -118,6 +118,20 @@ def load_gt_depths(sample: EvalSample, depth_scale: float) -> List[np.ndarray]:
         if d is None:
             raise RuntimeError(f"cannot read GT depth {p}")
         out.append(d.astype(np.float32) / depth_scale)
+    if out:
+        # plausibility guard for the pinned decode table: indoor/outdoor GT
+        # should land in single-digit meters; a wrong factor shifts the
+        # median by 3+ orders of magnitude.  Warn, don't fail — exotic
+        # exports exist and --eval-depth-scale can override.
+        valid = np.concatenate([d[d > 0].ravel()[:10000] for d in out])
+        if valid.size:
+            med = float(np.median(valid))
+            if not (0.05 <= med <= 200.0):
+                logger.warning(
+                    "GT depth median %.4g m looks implausible for scale %.0f "
+                    "— check the dataset's depth encoding (override with "
+                    "depth_scale/--eval-depth-scale)", med, depth_scale,
+                )
     return out
 
 
@@ -210,15 +224,24 @@ def evaluate_dataset(
     processing_res: int = 768,
     max_sequences: Optional[int] = None,
     csv_path: Optional[str] = None,
+    depth_scale: Optional[float] = None,
     **pipe_kwargs,
 ) -> Dict[str, float]:
     """Run the pipeline over every manifest in a split and average metrics.
 
     ``csv_path`` additionally writes one row per sequence plus a MEAN row
-    (the driver-target AbsRel number, BASELINE.json:5, as one command)."""
+    (the driver-target AbsRel number, BASELINE.json:5, as one command).
+    ``depth_scale`` overrides the per-dataset GT decode factor — the table
+    is pinned from published conventions with no GT frames to cross-check
+    in this environment, so a mismatched export can be corrected without
+    code changes (a wrong factor leaves AbsRel intact through the affine
+    alignment but silently corrupts delta thresholds and rmse)."""
     if split_dir is None:
         split_dir = os.path.join(DEFAULT_SPLIT_DIR, dataset)
-    scale = DATASET_DEPTH_SCALE.get(dataset, 1000.0)
+    scale = (
+        depth_scale if depth_scale is not None
+        else DATASET_DEPTH_SCALE.get(dataset, 1000.0)
+    )
     manifests = list_manifests(split_dir)
     if not manifests:
         raise FileNotFoundError(f"no .csv manifests found under {split_dir}")

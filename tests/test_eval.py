@@ -189,3 +189,27 @@ def test_snippet_dataset_short_clip_and_dup_dilations():
     assert len(rows) == len(set(rows)), "duplicated snippet windows"
     # clip0: d=1 (7 windows) + capped d=2 (5); clip1: clamped d=1 (3), once
     assert len(rows) == 7 + 5 + 3
+
+
+def test_gt_depth_implausible_scale_warns(tmp_path, caplog):
+    """A wrong decode factor shifts the GT median by orders of magnitude;
+    load_gt_depths warns (round-5: the table is pinned from published
+    conventions with no GT frames in this environment to cross-check)."""
+    import logging
+
+    import cv2
+
+    from rollingdepth_tpu.eval import EvalSample, load_gt_depths
+
+    meters = np.full((8, 8), 2.0, np.float32)
+    png = (meters * 1000.0).astype(np.uint16)  # millimeter writer
+    p = str(tmp_path / "d.png")
+    assert cv2.imwrite(p, png)
+    sample = EvalSample(rgb_paths=[], depth_paths=[p], name="x")
+    with caplog.at_level(logging.WARNING, logger="rollingdepth_tpu.eval"):
+        load_gt_depths(sample, 1.0)  # wrong factor: 2000 m median
+    assert any("implausible" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="rollingdepth_tpu.eval"):
+        load_gt_depths(sample, 1000.0)  # correct factor: silent
+    assert not any("implausible" in r.message for r in caplog.records)
