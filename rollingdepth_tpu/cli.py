@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--refine-snippet-len", type=int, default=None)
     parser.add_argument("--refine-start-dilation", type=int, default=None)
     parser.add_argument("--init-infer-steps", type=int, nargs="+", default=None)
+    parser.add_argument("--strides", type=int, nargs="+", default=None,
+                        help="window stride per dilation chain, 1..snippet_len "
+                             "(default 1 = the reference's sliding windows; "
+                             "snippet_len = the turbo partition; in between "
+                             "trades overlap smoothing for ~stride x fewer "
+                             "UNet evals — the dial the reference's strides "
+                             "parameter declares but does not implement)")
     parser.add_argument("--resample-method", type=str, default="BILINEAR",
                         choices=["BILINEAR", "NEAREST_EXACT", "BICUBIC"])
     parser.add_argument("--unload-snippet", type=str2bool, default=False)
@@ -139,6 +146,7 @@ def resolve_args(argv=None):
         in {
             "res", "snippet_lengths", "cap_dilation", "dtype", "refine_snippet_len",
             "refine_start_dilation", "dilations", "refine_step", "init_infer_steps",
+            "strides",
             "max_vae_bs", "unload_snippet", "restore_res", "resample_method",
             "start_frame", "frame_count", "seed", "verbose", "snippet_batch",
             "merge_in_latent", "refine_in_latent", "turbo_refine",
@@ -389,6 +397,15 @@ def run_relight(args, settings) -> None:
                 input_fg_video_path=fg,
                 input_bg_video_path=bg,
                 start_frame=settings.start_frame,
+                # infer settings forwarded like the reference relight CLI
+                # (/root/reference/run_video.py:569-574 passes dilations/
+                # cap_dilation/snippet_lengths; strides is our implemented
+                # extension of the parameter it hardcodes to [1])
+                dilations=list(settings.dilations),
+                cap_dilation=settings.cap_dilation,
+                snippet_lengths=list(settings.snippet_lengths),
+                strides=list(settings.strides),
+                resample_method=settings.resample_method,
                 seed=settings.seed if settings.seed is not None else ri.DEFAULT_SEED,
                 init_mode=args.init_mode,
                 verbose=settings.verbose,

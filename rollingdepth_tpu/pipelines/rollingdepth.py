@@ -54,6 +54,7 @@ from .chunking import (
 )
 from .snippets import (
     cap_max_dilation,
+    chain_stride_index_matrix,
     current_gap,
     partition_index_matrix,
     snippet_index_matrix,
@@ -374,8 +375,12 @@ class RollingDepthPipeline:
             assert len(strides) == len(dilations)
         else:
             strides = strides * len(dilations)
-        if strides != [1] * len(dilations):
-            raise NotImplementedError("Only implemented for stride 1")
+        # stride > 1 EXCEEDS the reference: its CLI accepts --strides but
+        # raises NotImplementedError for any value != 1
+        # (rollingdepth_pipeline.py:240-241).  Here stride s covers each
+        # dilation chain with windows every s hops (s=1 reference-exact,
+        # s=snippet_len the turbo partition) — see
+        # snippets.chain_stride_index_matrix.  Validation happens there.
 
         seq_len = input_frames.shape[0]
         if cap_dilation:
@@ -461,7 +466,9 @@ class RollingDepthPipeline:
         lat_ls: List[jnp.ndarray] = []  # per dilation [S, n, h, w, 4]
         idx_ls = [
             snippet_index_matrix(seq_len, snip_len, dilation)
-            for dilation, snip_len in zip(dilations, snippet_lengths)
+            if stride == 1
+            else chain_stride_index_matrix(seq_len, snip_len, dilation, stride)
+            for dilation, snip_len, stride in zip(dilations, snippet_lengths, strides)
         ]
         if len(set(snippet_lengths)) == 1 and len(set(init_infer_steps)) == 1:
             # all dilation passes share (snippet_len, steps) — true for every

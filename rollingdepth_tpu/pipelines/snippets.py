@@ -109,6 +109,61 @@ def snippet_index_matrix(
     return idx
 
 
+def chain_stride_index_matrix(
+    seq_len: int,
+    snippet_len: int,
+    dilation: int,
+    stride: int,
+    phase: int = 0,
+) -> np.ndarray:
+    """``[S, n]`` windows: each dilation chain tiled at chain-hop ``stride``.
+
+    The quality/throughput dial the reference's CLI promises but never
+    implements (``--strides`` raises NotImplementedError at
+    /root/reference/rollingdepth/rollingimg_pipeline.py:686-687 and
+    rollingdepth_pipeline.py:240-241).  A dilation chain is one residue
+    class mod ``dilation``; windows cover ``n`` consecutive chain positions
+    and successive windows start ``stride`` positions apart, so every frame
+    is covered by ``~n/stride`` windows:
+
+    - ``stride=1``  — the reference's stride-1 sliding-window set (same
+      windows, rows grouped by chain instead of by start frame),
+    - ``stride=n``  — the TURBO partition (~1 covering window per frame),
+    - in between    — proportionally fewer UNet evals with proportionally
+      more overlap smoothing retained.
+
+    ``stride`` must lie in ``[1, snippet_len]`` — a larger hop would leave
+    frames uncovered.  Head/tail windows clamp within their chain and may
+    overlap; consumers average overlaps exactly as for stride-1.
+    """
+    n, d, s = snippet_len, dilation, stride
+    if not 1 <= s <= n:
+        raise ValueError(
+            f"stride must be in [1, snippet_len={n}] for full coverage, got {s}"
+        )
+    wins = []
+    for r in range(d):
+        chain = np.arange(r, seq_len, d)
+        length = len(chain)
+        if length == 0:
+            continue
+        if length < n:
+            # degenerate chain (only reachable with cap_dilation off on
+            # short clips): one clamped window, duplicate indices allowed —
+            # the mask-weighted scatter averages duplicates harmlessly
+            wins.append(chain[np.clip(np.arange(length - n, length), 0, length - 1)])
+            continue
+        p0 = phase % n
+        starts = list(range(p0, length - n + 1, s))
+        if p0 > 0:
+            starts.insert(0, 0)  # head: cover chain positions [0, p0)
+        if not starts or starts[-1] + n < length:
+            starts.append(length - n)  # tail: cover the last positions
+        for s0 in starts:
+            wins.append(chain[s0 : s0 + n])
+    return np.stack(wins).astype(np.int32)
+
+
 def partition_index_matrix(
     seq_len: int,
     snippet_len: int,
@@ -130,28 +185,9 @@ def partition_index_matrix(
     pin to the same frames.  Head/tail windows clamp within their chain and
     may overlap; consumers average overlaps exactly as for stride-1.
     """
-    n, d = snippet_len, dilation
-    wins = []
-    for r in range(d):
-        chain = np.arange(r, seq_len, d)
-        length = len(chain)
-        if length == 0:
-            continue
-        if length < n:
-            # degenerate chain (only reachable with cap_dilation off on
-            # short clips): one clamped window, duplicate indices allowed —
-            # the mask-weighted scatter averages duplicates harmlessly
-            wins.append(chain[np.clip(np.arange(length - n, length), 0, length - 1)])
-            continue
-        p0 = phase % n
-        starts = list(range(p0, length - n + 1, n))
-        if p0 > 0:
-            starts.insert(0, 0)  # head: cover chain positions [0, p0)
-        if not starts or starts[-1] + n < length:
-            starts.append(length - n)  # tail: cover the last positions
-        for s0 in starts:
-            wins.append(chain[s0 : s0 + n])
-    return np.stack(wins).astype(np.int32)
+    return chain_stride_index_matrix(
+        seq_len, snippet_len, dilation, stride=snippet_len, phase=phase
+    )
 
 
 def coverage_count(index_matrix: np.ndarray, seq_len: int) -> np.ndarray:

@@ -40,6 +40,12 @@ def test_cli_preset_merge():
     assert settings.res == 512  # explicit flag overrides preset
     assert settings.dilations == [1, 25]
     assert settings.refine_step == 0
+    assert settings.strides == [1]  # reference default
+
+    _, s = resolve_args([
+        "-i", "x.mp4", "-o", "out", "-p", "fast", "--strides", "2", "2",
+    ])
+    assert s.strides == [2, 2]  # the dial the reference declares but rejects
 
 
 def test_paper_preset_defaults_to_reference_merge():

@@ -301,12 +301,32 @@ def test_relight_turbo_windows(tiny_relight):
         assert corr > 0.7
 
 
-def test_relight_strides_validation(tiny_relight):
+def test_relight_strided_windows(tiny_relight):
+    """strides > 1 EXCEEDS the reference (rollingimg_pipeline.py:686-687
+    raises NotImplementedError): chain-strided windows run the full relight
+    path with ~stride x fewer 20-step SDE denoises+decodes, staying between
+    the exact (stride 1) and turbo-partition (stride n) schedules."""
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        tiny_relight.forward(_frames(), _frames(seed=1), dilations=[1],
-                             strides=[2], init_mode="shared_noise")
+    fg, bg = _frames(n=12), _frames(n=12, seed=1)
+    kwargs = dict(dilations=[1, 2], cap_dilation=False,
+                  init_mode="shared_noise", seed=12345)
+    out1 = tiny_relight.forward(fg, bg, strides=[1], **kwargs)
+    out2 = tiny_relight.forward(fg, bg, strides=[2], **kwargs)
+
+    assert out1.snippet_ls[0].shape[0] == 10
+    assert out2.snippet_ls[0].shape[0] < out1.snippet_ls[0].shape[0]
+    assert out2.snippet_ls[1].shape[0] < out1.snippet_ls[1].shape[0]
+    for p in (out2.R_pred, out2.G_pred, out2.B_pred):
+        assert p.shape == (12, 1, 32, 32)
+        assert np.isfinite(p).all()
+    corr = np.corrcoef(np.asarray(out1.R_pred).ravel(),
+                       np.asarray(out2.R_pred).ravel())[0, 1]
+    assert corr > 0.55, corr  # wiring bound, as for turbo (corr ~0.8 there)
+
+    with _pytest.raises(ValueError):
+        tiny_relight.forward(fg, bg, dilations=[1], strides=[4],
+                             init_mode="shared_noise")
 
 
 def test_resize_frames():

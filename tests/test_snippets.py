@@ -151,3 +151,71 @@ class TestPartitionIndexMatrix:
         covered = coverage_count(m, 7)
         assert (covered >= 1).all()
         assert m.max() < 7 and m.min() >= 0
+
+
+class TestChainStrideIndexMatrix:
+    """The stride dial (chain_stride_index_matrix): the reference's pipelines
+    declare a ``strides`` parameter but raise NotImplementedError for any
+    value != 1 (rollingdepth_pipeline.py:240-241, rollingimg_pipeline.py:
+    686-687); here stride s in [1, snippet_len] tiles each dilation chain
+    with windows every s hops — s=1 is the reference window set, s=n the
+    turbo partition, in between a quality/throughput dial."""
+
+    @pytest.mark.parametrize("seq_len", [9, 20, 24, 60, 61, 253])
+    @pytest.mark.parametrize("dilation", [1, 2, 3])
+    @pytest.mark.parametrize("stride", [1, 2, 3])
+    def test_full_coverage_and_spacing(self, seq_len, dilation, stride):
+        from rollingdepth_tpu.pipelines.snippets import chain_stride_index_matrix
+
+        n = 3
+        if seq_len < n * dilation:
+            pytest.skip("chain shorter than a window")
+        m = chain_stride_index_matrix(seq_len, n, dilation, stride)
+        assert m.shape[1] == n
+        assert m.min() >= 0 and m.max() < seq_len
+        assert (np.diff(m, axis=1) == dilation).all()
+        covered = coverage_count(m, seq_len)
+        assert (covered >= 1).all(), f"uncovered: {np.where(covered == 0)[0]}"
+
+    def test_stride_1_is_the_reference_window_set(self):
+        from rollingdepth_tpu.pipelines.snippets import chain_stride_index_matrix
+
+        for seq_len, d in [(20, 1), (20, 2), (61, 3)]:
+            ours = chain_stride_index_matrix(seq_len, 3, d, stride=1)
+            ref = snippet_index_matrix(seq_len, 3, d)
+            # same windows; rows are grouped by chain instead of start frame
+            assert set(map(tuple, ours)) == set(map(tuple, ref))
+
+    def test_stride_n_is_the_turbo_partition(self):
+        from rollingdepth_tpu.pipelines.snippets import (
+            chain_stride_index_matrix,
+            partition_index_matrix,
+        )
+
+        for seq_len, d, phase in [(24, 1, 0), (24, 2, 1), (60, 3, 2)]:
+            a = chain_stride_index_matrix(seq_len, 3, d, stride=3, phase=phase)
+            b = partition_index_matrix(seq_len, 3, d, phase=phase)
+            assert (a == b).all()
+
+    def test_window_count_scales_inversely_with_stride(self):
+        from rollingdepth_tpu.pipelines.snippets import chain_stride_index_matrix
+
+        counts = [
+            chain_stride_index_matrix(60, 3, 2, stride=s).shape[0]
+            for s in (1, 2, 3)
+        ]
+        assert counts[0] > counts[1] > counts[2]
+        # ~s x fewer windows (head/tail clamps keep it approximate)
+        assert counts[1] <= counts[0] // 2 + 2
+        mean_cov = coverage_count(
+            chain_stride_index_matrix(60, 3, 2, stride=2), 60
+        ).mean()
+        assert 1.0 <= mean_cov <= 2.0  # between partition (~1) and stride-1 (~3)
+
+    def test_invalid_stride_raises(self):
+        from rollingdepth_tpu.pipelines.snippets import chain_stride_index_matrix
+
+        with pytest.raises(ValueError):
+            chain_stride_index_matrix(20, 3, 1, stride=4)  # > snippet_len
+        with pytest.raises(ValueError):
+            chain_stride_index_matrix(20, 3, 1, stride=0)
