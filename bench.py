@@ -210,6 +210,14 @@ def main():
     # merge (must be parsed before the positionals)
     if turbo:
         args.remove("--turbo")
+    # --stride N: chain-stride window scheduling (1 = reference sliding
+    # windows; snippet_len = turbo partition; between = the quality dial —
+    # snippets.chain_stride_index_matrix).  Applied to every dilation.
+    stride = 1
+    if "--stride" in args:
+        i = args.index("--stride")
+        stride = int(args[i + 1])
+        del args[i : i + 2]
     n_frames = int(args[0]) if len(args) > 0 else 60
     n_clips = int(args[1]) if len(args) > 1 else 4  # timed clips
     # preset geometry/config (utils/presets.py; reference run_video.py:423-452)
@@ -270,7 +278,7 @@ def main():
 
     kwargs = dict(
         dilations=dilations, cap_dilation=cap_dil, refine_step=refine_step, seed=0,
-        max_vae_bs=vb, fetch_output=False,
+        max_vae_bs=vb, fetch_output=False, strides=[stride],
         # fast-preset default since round 3: latent-space co-align + merge,
         # decoding N frames once instead of every snippet frame (drift vs the
         # reference merge bounded by tests/test_e2e_parity.py).  The
